@@ -1,0 +1,323 @@
+"""The Ref-NeRF MLP as a Flax module.
+
+One class parameterizes both the proposal and NeRF MLPs (mirroring reference
+internal/models.py:343-760), but every boolean architecture flag is a
+trace-time Python conditional: under jit each configuration compiles to its
+own straight-line XLA program with no runtime branches.
+
+Key TPU-native departure from the reference: density-gradient normals. The
+torch code calls `torch.autograd.grad(raw_density.sum(), means)` inside
+forward (models.py:609), creating an eager double-backprop. Here the density
+head is a pure function of the sample means, so normals are a nested
+`jax.value_and_grad` *inside* the traced step - XLA fuses the inner backward
+with the forward pass, and the outer loss gradient differentiates straight
+through it (second-order AD).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refnerf_tpu.ops import coord
+from refnerf_tpu.ops import geopoly
+from refnerf_tpu.ops import image as image_ops
+from refnerf_tpu.ops import ref_utils
+
+
+def _weight_init(name: str):
+  """Map init names to flax initializers.
+
+  'torch_uniform' reproduces the reference's global nn.Linear override
+  (uniform(+-1/sqrt(fan_in)); ref models.py:38-47). 'he_uniform' matches
+  multinerf's default.
+  """
+  if name == 'torch_uniform':
+    return jax.nn.initializers.variance_scaling(1 / 3, 'fan_in', 'uniform')
+  if name == 'he_uniform':
+    return jax.nn.initializers.he_uniform()
+  if name == 'glorot_uniform':
+    return jax.nn.initializers.glorot_uniform()
+  if name == 'lecun_normal':
+    return jax.nn.initializers.lecun_normal()
+  raise ValueError(f'Unknown weight init {name}')
+
+
+class MLP(nn.Module):
+  """Spatial net + density/normal/roughness/color heads + directional net."""
+
+  net_depth: int = 8                    # depth of the spatial MLP
+  net_width: int = 256                  # width of the spatial MLP
+  bottleneck_width: int = 256           # width of the bottleneck vector
+  net_depth_viewdirs: int = 1           # depth of the directional MLP
+  net_width_viewdirs: int = 128         # width of the directional MLP
+  net_activation: Callable[..., Any] = nn.relu
+  min_deg_point: int = 0                # min degree of IPE for 3D points
+  max_deg_point: int = 12               # max degree of IPE for 3D points
+  weight_init: str = 'torch_uniform'
+  skip_layer: int = 4                   # skip connection period, spatial net
+  skip_layer_dir: int = 4               # skip connection period, dir net
+  num_rgb_channels: int = 3
+  deg_view: int = 4                     # SH degrees for view/refl directions
+  use_reflections: bool = False         # encode refdirs instead of viewdirs
+  use_directional_enc: bool = False     # IDE instead of plain PE
+  enable_pred_roughness: bool = False
+  roughness_activation: Callable[..., Any] = nn.softplus
+  roughness_bias: float = -1.0
+  use_diffuse_color: bool = False       # split diffuse & specular colors
+  use_specular_tint: bool = False
+  use_n_dot_v: bool = False
+  enable_pred_specular_density: bool = False
+  bottleneck_noise: float = 0.0
+  density_activation: Callable[..., Any] = nn.softplus
+  density_bias: float = -1.0
+  density_noise: float = 0.0
+  rgb_premultiplier: float = 1.0
+  rgb_activation: Callable[..., Any] = nn.sigmoid
+  rgb_bias: float = 0.0
+  rgb_padding: float = 0.001
+  enable_pred_normals: bool = False     # predict analytic normals
+  disable_density_normals: bool = False  # skip density-gradient normals
+  disable_rgb: bool = False             # density-only (pure proposal MLP)
+  srgb_mapping: bool = True             # tone-map combined diffuse+specular
+  srgb_mapping_normalization: bool = True
+  warp_fn: Optional[Any] = None
+  basis_shape: str = 'icosahedron'      # 'octahedron'+1 subdiv == eye(3)
+  basis_subdivisions: int = 2
+
+  def setup(self):
+    if self.use_reflections and not (self.enable_pred_normals or
+                                     not self.disable_density_normals):
+      raise ValueError('Normals must be computed for reflection directions.')
+    if self.enable_pred_specular_density and not self.use_diffuse_color:
+      raise ValueError('Specular density is useless if not using diffuse '
+                       'color.')
+
+    # Static basis, folded into the first matmul at compile time.
+    self.pos_basis_t = np.array(
+        geopoly.generate_basis(self.basis_shape, self.basis_subdivisions)).T
+
+    if self.use_directional_enc:
+      self.dir_enc_fn = ref_utils.generate_ide_fn(self.deg_view)
+    else:
+      def dir_enc_fn(direction, _):
+        return coord.pos_enc(
+            direction, min_deg=0, max_deg=self.deg_view, append_identity=True)
+      self.dir_enc_fn = dir_enc_fn
+
+    init = _weight_init(self.weight_init)
+    dense = lambda w, name: nn.Dense(w, kernel_init=init, name=name)
+
+    self.spatial_net = [
+        dense(self.net_width, f'spatial_{i}') for i in range(self.net_depth)]
+    self.raw_density_layer = dense(1, 'raw_density')
+    if self.enable_pred_specular_density:
+      self.raw_specular_density_layer = dense(1, 'raw_specular_density')
+    if self.enable_pred_normals:
+      self.grad_pred_layer = dense(3, 'grad_pred')
+    if self.enable_pred_roughness:
+      self.raw_roughness_layer = dense(1, 'raw_roughness')
+    if self.use_diffuse_color:
+      self.raw_rgb_diffuse_layer = dense(self.num_rgb_channels,
+                                         'raw_rgb_diffuse')
+    if self.use_specular_tint:
+      self.raw_tint_layer = dense(3, 'raw_tint')
+    if self.bottleneck_width > 0:
+      self.bottleneck_layer = dense(self.bottleneck_width, 'bottleneck')
+    self.viewdir_mlp = [
+        dense(self.net_width_viewdirs, f'viewdir_{i}')
+        for i in range(self.net_depth_viewdirs)]
+    self.rgb_layer = dense(self.num_rgb_channels, 'rgb')
+
+  def run_spatial_net(self, x):
+    """The spatial trunk: dense+act with periodic input-skip concats."""
+    inputs = x
+    for i, layer in enumerate(self.spatial_net):
+      x = layer(x)
+      x = self.net_activation(x)
+      # NOTE: parity with the reference, which uses skip_layer (not
+      # skip_layer_dir) in *both* trunks (models.py:579,693).
+      if i % self.skip_layer == 0 and i > 0:
+        x = jnp.concatenate([x, inputs], axis=-1)
+    return x
+
+  def predict_density(self, means, covs):
+    """IPE encode -> spatial net -> raw density. Pure in `means` so it can
+    be differentiated for density-gradient normals."""
+    lifted_means, lifted_vars = coord.lift_and_diagonalize(
+        means, covs, jnp.asarray(self.pos_basis_t))
+    x = coord.integrated_pos_enc(lifted_means, lifted_vars,
+                                 self.min_deg_point, self.max_deg_point)
+    x = self.run_spatial_net(x)
+    raw_density = self.raw_density_layer(x)[..., 0]
+    return raw_density, x
+
+  def __call__(self, gaussians, viewdirs=None, imageplane=None, train=False,
+               rng=None):
+    """Evaluate the MLP on sample Gaussians.
+
+    Args:
+      gaussians: (means [..., s, 3], covs [..., s, 3{,3}]).
+      viewdirs: [..., 3] normalized view directions (camera -> point), or
+        None to disable the directional branch.
+      imageplane: [..., 2] image-plane coords (unused; parity surface).
+      train: density-gradient normals and noise only apply in training.
+      rng: PRNGKey for density/bottleneck noise (None disables noise).
+
+    Returns:
+      dict of per-sample results: density, rgb, and conditionally normals,
+      normals_pred, grad_pred, tint, diffuse, specular, specular_density,
+      roughness.
+    """
+    del imageplane  # Unused, kept for interface parity.
+    means, covs = gaussians
+
+    compute_density_normals = (
+        not self.disable_density_normals
+        and (train or (self.use_reflections and not self.enable_pred_normals)))
+
+    if compute_density_normals:
+      # Nested AD: d(sum raw_density)/d(means) gives per-sample density
+      # gradients in one fused backward (covs are independent of means).
+      def density_sum(m):
+        raw_density, x = self.predict_density(m, covs)
+        return raw_density.sum(), (raw_density, x)
+      grads, (raw_density, x) = jax.grad(density_sum, has_aux=True)(means)
+      normals = -ref_utils.l2_normalize(grads)
+    else:
+      raw_density, x = self.predict_density(means, covs)
+      normals = None
+
+    if self.enable_pred_specular_density:
+      raw_specular_density = self.raw_specular_density_layer(x)[..., 0]
+
+    if self.density_noise > 0 and train:
+      if rng is None:
+        raise ValueError('density_noise > 0 requires an rng key.')
+      rng, key = jax.random.split(rng)
+      raw_density += self.density_noise * jax.random.normal(
+          key, raw_density.shape)
+      if self.enable_pred_specular_density:
+        rng, key = jax.random.split(rng)
+        raw_specular_density += self.density_noise * jax.random.normal(
+            key, raw_specular_density.shape)
+
+    if self.enable_pred_normals:
+      grad_pred = self.grad_pred_layer(x)
+      normals_pred = -ref_utils.l2_normalize(grad_pred)
+      normals_to_use = normals_pred
+    else:
+      grad_pred = None
+      normals_pred = None
+      normals_to_use = normals
+
+    density = self.density_activation(raw_density + self.density_bias)
+    if self.enable_pred_specular_density:
+      specular_density = self.density_activation(
+          raw_specular_density + self.density_bias)
+
+    roughness = 0.0
+    tint = None
+    diffuse = None
+    specular = None
+    if self.disable_rgb:
+      rgb = jnp.zeros_like(means)
+    else:
+      if viewdirs is not None:
+        if self.use_diffuse_color:
+          raw_rgb_diffuse = self.raw_rgb_diffuse_layer(x)
+        if self.use_specular_tint:
+          tint = nn.sigmoid(self.raw_tint_layer(x))
+        if self.enable_pred_roughness:
+          roughness = self.roughness_activation(
+              self.raw_roughness_layer(x) + self.roughness_bias)
+
+        if self.bottleneck_width > 0:
+          bottleneck = self.bottleneck_layer(x)
+          if self.bottleneck_noise > 0 and train:
+            if rng is None:
+              raise ValueError('bottleneck_noise > 0 requires an rng key.')
+            rng, key = jax.random.split(rng)
+            bottleneck += self.bottleneck_noise * jax.random.normal(
+                key, bottleneck.shape)
+          x = [bottleneck]
+        else:
+          x = []
+
+        if self.use_reflections:
+          # viewdirs point camera->point; flip so refdirs point outward.
+          refdirs = ref_utils.reflect(-viewdirs[..., None, :], normals_to_use)
+          dir_enc = self.dir_enc_fn(refdirs, roughness)
+        else:
+          dir_enc = self.dir_enc_fn(viewdirs, roughness)
+          dir_enc = jnp.broadcast_to(
+              dir_enc[..., None, :],
+              bottleneck.shape[:-1] + (dir_enc.shape[-1],))
+
+        x.append(dir_enc)
+
+        if self.use_n_dot_v:
+          dotprod = jnp.sum(
+              normals_to_use * viewdirs[..., None, :], axis=-1, keepdims=True)
+          x.append(dotprod)
+
+        x = jnp.concatenate(x, axis=-1)
+
+        inputs = x
+        for i, layer in enumerate(self.viewdir_mlp):
+          x = layer(x)
+          x = self.net_activation(x)
+          if i % self.skip_layer == 0 and i > 0:
+            x = jnp.concatenate([x, inputs], axis=-1)
+
+      # With diffuse/specular split, `rgb` is the linear specular color.
+      rgb = self.rgb_activation(
+          self.rgb_premultiplier * self.rgb_layer(x) + self.rgb_bias)
+
+      if self.use_diffuse_color:
+        # Initialize linear diffuse near 0.25 so combined color starts ~0.5.
+        diffuse_linear = nn.sigmoid(raw_rgb_diffuse - jnp.log(3.0))
+        if self.use_specular_tint:
+          specular_linear = tint * rgb
+        else:
+          specular_linear = 0.5 * rgb
+
+        if self.srgb_mapping:
+          rgb = specular_linear + diffuse_linear
+          if self.srgb_mapping_normalization:
+            rgb_norm = jnp.maximum(rgb.max(axis=-1, keepdims=True),
+                                   jnp.ones_like(rgb[..., :1]))
+            rgb = rgb / rgb_norm
+          rgb = jnp.clip(image_ops.linear_to_srgb(rgb), 0.0, 1.0)
+          diffuse = jnp.clip(image_ops.linear_to_srgb(diffuse_linear), 0.0, 1.0)
+          specular = jnp.clip(image_ops.linear_to_srgb(specular_linear),
+                              0.0, 1.0)
+        else:
+          rgb = specular_linear + diffuse_linear
+          diffuse = diffuse_linear
+          specular = specular_linear
+
+      # Map color to [-rgb_padding, 1 + rgb_padding].
+      rgb = rgb * (1 + 2 * self.rgb_padding) - self.rgb_padding
+
+    ray_results = dict(density=density, rgb=rgb)
+    if not self.disable_density_normals:
+      ray_results['normals'] = normals
+    if self.enable_pred_normals:
+      ray_results['normals_pred'] = normals_pred
+      ray_results['grad_pred'] = grad_pred
+    if self.use_specular_tint:
+      ray_results['tint'] = tint
+    if self.use_diffuse_color:
+      ray_results['diffuse'] = diffuse
+      ray_results['specular'] = specular
+      if self.enable_pred_specular_density:
+        ray_results['specular_density'] = specular_density
+    if self.enable_pred_roughness:
+      ray_results['roughness'] = roughness
+
+    return ray_results
