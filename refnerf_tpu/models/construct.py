@@ -1,0 +1,62 @@
+"""Model construction from Config + gin bindings.
+
+Replaces the reference's gin-decorated classes + LazyLinear dummy-forward
+materialization (models.py:324-340): Flax modules are shape-polymorphic, so
+`init_params` runs one traced init on dummy rays instead of an eager forward.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from refnerf_tpu import configs as configs_lib
+from refnerf_tpu.cameras import rays as rays_lib
+from refnerf_tpu.models.mlp import MLP
+from refnerf_tpu.models.model import Model
+from refnerf_tpu.utils import ginlite
+
+
+def _clean_raydist_fn(v):
+  """gin may carry raydist_fn as a @reference (e.g. @torch.reciprocal)."""
+  if v is None or isinstance(v, str):
+    return v
+  if isinstance(v, ginlite.Ref):
+    return v.name.split('.')[-1]
+  return v
+
+
+def construct_model(config, gin: Optional[ginlite.GinConfig] = None,
+                    scope: Optional[str] = None) -> Model:
+  """Build the (unbound) Model module from Config + gin bindings."""
+  gin = gin or ginlite.GinConfig()
+  m_kwargs = dict(configs_lib.model_kwargs(gin, scope=scope))
+  single_mlp = bool(m_kwargs.pop('single_mlp', False))
+  if 'raydist_fn' in m_kwargs:
+    m_kwargs['raydist_fn'] = _clean_raydist_fn(m_kwargs['raydist_fn'])
+
+  nerf_kwargs = configs_lib.mlp_kwargs(gin, 'NerfMLP', scope=scope)
+  prop_kwargs = configs_lib.mlp_kwargs(gin, 'PropMLP', scope=scope)
+
+  nerf_mlp = MLP(name='NerfMLP', **nerf_kwargs)
+  prop_mlp = None if single_mlp else MLP(name='PropMLP', **prop_kwargs)
+
+  return Model(
+      nerf_mlp=nerf_mlp,
+      prop_mlp=prop_mlp,
+      render_with_specular_density=config.render_with_specular_density,
+      srgb_mapping_type=config.srgb_mapping_type,
+      srgb_mapping_when_rendering=config.srgb_mapping_when_rendering,
+      vis_num_rays=config.vis_num_rays,
+      **m_kwargs)
+
+
+def init_params(rng, model: Model, num_rays: int = 2):
+  """Initialize model parameters with a dummy ray bundle."""
+  dummy = rays_lib.dummy_rays(num_rays)
+  variables = model.init(
+      {'params': rng}, dummy, train_frac=1.0, compute_extras=False,
+      train=False)
+  return variables['params']

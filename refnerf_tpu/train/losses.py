@@ -1,0 +1,337 @@
+"""The full loss library (ref: internal/train_utils.py:33-325).
+
+All masked `[mask].mean()` constructs of the reference are rewritten as
+weighted sums with static shapes (boolean indexing produces dynamic shapes,
+which XLA cannot compile) - numerically identical, TPU-compilable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refnerf_tpu.ops import image as image_ops
+from refnerf_tpu.ops import ref_utils
+from refnerf_tpu.ops import stepfun
+
+
+def _masked_mean(x, mask):
+  """mean(x[mask]) with static shapes; mask broadcasts against x."""
+  mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+  return jnp.sum(x * mask) / jnp.maximum(1e-10, jnp.sum(mask))
+
+
+def compute_data_loss(batch, renderings, rays, config):
+  """Photometric loss over all levels + mse stats (ref: train_utils.py:33-88).
+
+  Returns (loss, stats) where stats['mses'] is a per-level array.
+  """
+  data_losses = []
+  mses = []
+  stats = {}
+
+  lossmult = jnp.broadcast_to(rays.lossmult, batch.rgb[..., :3].shape)
+  if config.disable_multiscale_loss:
+    lossmult = jnp.ones_like(lossmult)
+
+  gt_rgb = batch.rgb[..., :3]
+  if config.supervised_by_linear_rgb:
+    gt_rgb = image_ops.srgb_to_linear(gt_rgb)
+
+  denom = lossmult.sum()
+  for rendering in renderings:
+    resid_sq = (rendering['rgb'] - gt_rgb) ** 2
+    mses.append((lossmult * resid_sq).sum() / denom)
+
+    if config.data_loss_type == 'mse':
+      data_loss = resid_sq
+    elif config.data_loss_type == 'charb':
+      data_loss = jnp.sqrt(resid_sq + config.charb_padding ** 2)
+    else:
+      raise ValueError(f'Unknown data_loss_type {config.data_loss_type}')
+    data_losses.append((lossmult * data_loss).sum() / denom)
+
+    if config.compute_disp_metrics and batch.disps is not None:
+      disp = 1 / (1 + rendering['distance_mean'])
+      stats.setdefault('disparity_mses', []).append(
+          ((disp - batch.disps) ** 2).mean())
+
+    if config.compute_normal_metrics and batch.normals is not None:
+      if 'normals' in rendering and rendering['normals'] is not None:
+        weights = rendering['acc'] * batch.alphas
+        normalized_normals_gt = ref_utils.l2_normalize(batch.normals)
+        normalized_normals = ref_utils.l2_normalize(rendering['normals'])
+        normal_mae = ref_utils.compute_weighted_mae(
+            weights, normalized_normals, normalized_normals_gt)
+      else:
+        normal_mae = jnp.nan
+      stats.setdefault('normal_maes', []).append(normal_mae)
+
+  data_losses = jnp.stack(data_losses)
+  loss = (config.data_coarse_loss_mult * jnp.sum(data_losses[:-1]) +
+          config.data_loss_mult * data_losses[-1])
+  stats['mses'] = jnp.stack(mses)
+  for k in ('disparity_mses', 'normal_maes'):
+    if k in stats:
+      stats[k] = jnp.stack(stats[k])
+  return loss, stats
+
+
+def interlevel_loss(ray_history, config):
+  """Proposal-supervision loss (mip-NeRF 360). Gradients stop at the NeRF
+  level's histogram (ref: train_utils.py:151-162)."""
+  last = ray_history[-1]
+  c = jax.lax.stop_gradient(last['sdist'])
+  w = jax.lax.stop_gradient(last['weights'])
+  loss_interlevel = 0.0
+  for ray_results in ray_history[:-1]:
+    cp = ray_results['sdist']
+    wp = ray_results['weights']
+    loss_interlevel += jnp.mean(stepfun.lossfun_outer(c, w, cp, wp))
+  return config.interlevel_loss_mult * loss_interlevel
+
+
+def distortion_loss(ray_history, config):
+  """mip-NeRF 360 distortion regularizer on the final level's histogram.
+
+  The reference carries `distortion_loss_mult` in its config but never wires
+  the loss into training; restored here as a first-class capability (all
+  shipped configs set the mult to 0, so parity is unaffected)."""
+  last = ray_history[-1]
+  loss = jnp.mean(stepfun.lossfun_distortion(last['sdist'], last['weights']))
+  return config.distortion_loss_mult * loss
+
+
+def orientation_loss(rays, num_levels, ray_history, config):
+  """Back-facing normal penalty, Ref-NeRF Eq 15 (ref: train_utils.py:165-183)."""
+  total_loss = 0.0
+  for i, ray_results in enumerate(ray_history):
+    w = ray_results['weights']
+    n = ray_results[config.orientation_loss_target]
+    if n is None:
+      raise ValueError('Normals cannot be None if orientation loss is on.')
+    # Negate viewdirs so they point from the surface toward the camera.
+    v = -rays.viewdirs
+    terms = ref_utils.orientation_loss_terms(w, n, v)
+    loss = jnp.mean(terms.sum(axis=-1))
+    mult = (config.orientation_coarse_loss_mult if i < num_levels - 1
+            else config.orientation_loss_mult)
+    total_loss += mult * loss
+  return total_loss
+
+
+def predicted_normal_loss(num_levels, ray_history, config):
+  """Agreement between density normals and predicted normals
+  (ref: train_utils.py:186-204)."""
+  total_loss = 0.0
+  for i, ray_results in enumerate(ray_history):
+    w = ray_results['weights']
+    n = ray_results['normals']
+    n_pred = ray_results['normals_pred']
+    if n is None or n_pred is None:
+      raise ValueError('Predicted normals and gradient normals cannot be None '
+                       'if predicted normal loss is on.')
+    loss = jnp.mean((w * (1.0 - jnp.sum(n * n_pred, axis=-1))).sum(axis=-1))
+    mult = (config.predicted_normal_coarse_loss_mult if i < num_levels - 1
+            else config.predicted_normal_loss_mult)
+    total_loss += mult * loss
+  return total_loss
+
+
+def compute_depth_smoothness_loss(renderings, config):
+  """Bilateral edge-aware depth smoothness over sampled patches
+  (ref: train_utils.py:90-119). Expects patch-shaped renderings
+  [..., ph, pw, c]."""
+  smoothness_losses = []
+  loss = lambda x: jnp.mean(jnp.abs(x))
+  bilateral = lambda x: jnp.exp(-jnp.abs(x).mean(-1, keepdims=True))
+
+  for rendering in renderings:
+    depths = rendering['distance']
+    acc00 = jax.lax.stop_gradient(rendering['acc'][..., :-1, :-1, None])
+    weights = jax.lax.stop_gradient(rendering['rgb'])
+
+    v00 = depths[..., :-1, :-1, :]
+    v01 = depths[..., :-1, 1:, :]
+    v10 = depths[..., 1:, :-1, :]
+
+    w01 = bilateral(weights[..., :-1, :-1, :] - weights[..., :-1, 1:, :])
+    w10 = bilateral(weights[..., :-1, :-1, :] - weights[..., 1:, :-1, :])
+    l1 = loss(acc00 * w01 * (v00 - v01) ** 2)
+    l2 = loss(acc00 * w10 * (v00 - v10) ** 2)
+    smoothness_losses.append((l1 + l2) / 2)
+
+  smoothness_losses = jnp.stack(smoothness_losses)
+  return (config.depth_smoothness_coarse_loss_mult *
+          jnp.sum(smoothness_losses[:-1]) +
+          config.depth_smoothness_loss_mult * smoothness_losses[-1])
+
+
+def _var_unbiased(x, axis):
+  """torch.var semantics (ddof=1), which the reference relies on."""
+  n = x.shape[axis]
+  return jnp.var(x, axis=axis, keepdims=True) * (n / max(1, n - 1))
+
+
+def noisy_consistency_loss(num_levels, renderings, renderings_noise, config,
+                           warmup_ratio=1.0):
+  """Diffuse/specular/normal consistency across perturbed views.
+
+  The specular term is *negated*: specular color is encouraged to vary with
+  viewpoint (ref: train_utils.py:240-248). Masked means are weighted sums.
+  """
+  total_diffuse_loss = 0.0
+  total_specular_loss = 0.0
+  total_normal_loss = 0.0
+  n_samples = config.sample_noise_size // config.patch_size ** 2
+  n_angles = config.sample_noise_angles
+
+  for i, (rendering, rendering_noise) in enumerate(
+      zip(renderings, renderings_noise)):
+    reshape_noise = lambda x: x.reshape(n_samples, n_angles, *x.shape[1:])
+    noise_diffuse = reshape_noise(rendering_noise['diffuse'])
+    noise_specular = reshape_noise(rendering_noise['specular'])
+
+    mask = (rendering['acc'][:n_samples, None] >
+            config.acc_threshold_for_consistency_loss)
+
+    dtype_ = config.consistency_diffuse_loss_type
+    if dtype_ == 'mse':
+      diffuse_mse = (rendering['diffuse'][:n_samples, None] - noise_diffuse)**2
+      diffuse_mse = diffuse_mse.mean(axis=1, keepdims=True)
+      diffuse_loss = _masked_mean(diffuse_mse.sum(axis=-1), mask)
+    elif dtype_ == 'avg_mse':
+      diffuse_mse = (rendering['diffuse'][:n_samples, None] -
+                     noise_diffuse.mean(axis=1, keepdims=True)) ** 2
+      diffuse_mse = diffuse_mse.mean(axis=1, keepdims=True)
+      diffuse_loss = _masked_mean(diffuse_mse.sum(axis=-1), mask)
+    elif dtype_ == 'var':
+      diffuse_rays = jnp.concatenate(
+          [rendering['diffuse'][:n_samples, None], noise_diffuse], axis=1)
+      diffuse_var = _var_unbiased(diffuse_rays, axis=1).mean(
+          axis=-1, keepdims=True)
+      diffuse_loss = _masked_mean(diffuse_var.sum(axis=-1), mask)
+    else:
+      raise ValueError(f'Unknown consistency_diffuse_loss_type {dtype_}')
+
+    stype = config.consistency_specular_loss_type
+    if stype == 'mse':
+      specular_mse = (rendering['specular'][:n_samples, None] -
+                      noise_specular) ** 2
+      specular_mse = specular_mse.mean(axis=1, keepdims=True)
+      specular_loss = -_masked_mean(specular_mse.sum(axis=-1), mask)
+    elif stype == 'avg_mse':
+      specular_mse = (rendering['specular'][:n_samples, None] -
+                      noise_specular.mean(axis=1, keepdims=True)) ** 2
+      specular_mse = specular_mse.mean(axis=1, keepdims=True)
+      specular_loss = -_masked_mean(specular_mse.sum(axis=-1), mask)
+    elif stype == 'var':
+      specular_rays = jnp.concatenate(
+          [rendering['specular'][:n_samples, None], noise_specular], axis=1)
+      specular_var = _var_unbiased(specular_rays, axis=1).mean(
+          axis=-1, keepdims=True)
+      specular_loss = -_masked_mean(specular_var.sum(axis=-1), mask)
+    else:
+      raise ValueError(f'Unknown consistency_specular_loss_type {stype}')
+
+    n = rendering['normals'][:n_samples, None]
+    n_pred = rendering['normals_pred'][:n_samples, None]
+    n_noise = reshape_noise(rendering_noise['normals'])
+    n_pred_noise = reshape_noise(rendering_noise['normals_pred'])
+
+    if n is None or n_pred is None:
+      raise ValueError('Predicted normals and gradient normals cannot be '
+                       'None if consistency loss is on.')
+
+    if config.consistency_normal_loss_target == 'normals':
+      normal_err = (1.0 - jnp.sum(n * n_noise, axis=-1)).mean(
+          axis=1, keepdims=True)
+    elif config.consistency_normal_loss_target == 'normals_pred':
+      normal_err = (1.0 - jnp.sum(n_pred * n_pred_noise, axis=-1)).mean(
+          axis=1, keepdims=True)
+    else:
+      raise ValueError('Given an unknown type of '
+                       'consistency_normal_loss_target.')
+    normal_loss = _masked_mean(normal_err, mask)
+
+    if i < num_levels - 1:
+      total_diffuse_loss += (warmup_ratio *
+                             config.consistency_diffuse_coarse_loss_mult *
+                             diffuse_loss)
+      total_specular_loss += (warmup_ratio *
+                              config.consistency_specular_coarse_loss_mult *
+                              specular_loss)
+      total_normal_loss += (warmup_ratio *
+                            config.consistency_normal_coarse_loss_mult *
+                            normal_loss)
+    else:
+      total_diffuse_loss += (warmup_ratio * config.consistency_diffuse_loss_mult
+                             * diffuse_loss)
+      total_specular_loss += (warmup_ratio *
+                              config.consistency_specular_loss_mult *
+                              specular_loss)
+      total_normal_loss += (warmup_ratio * config.consistency_normal_loss_mult
+                            * normal_loss)
+  return total_diffuse_loss, total_specular_loss, total_normal_loss
+
+
+def noisy_distance_consistency_loss(num_levels, rays, noisy_rays, renderings,
+                                    renderings_noise, config,
+                                    warmup_ratio=1.0):
+  """3D expected-surface-point consistency across perturbed views
+  (ref: train_utils.py:279-306)."""
+  total_distance_loss = 0.0
+  n_samples = config.sample_noise_size // config.patch_size ** 2
+  n_angles = config.sample_noise_angles
+
+  for i, (rendering, rendering_noise) in enumerate(
+      zip(renderings, renderings_noise)):
+    reshape_noise = lambda x: x.reshape(n_samples, n_angles, *x.shape[1:])
+    origins = rays.origins[:n_samples, None]
+    directions = rays.directions[:n_samples, None]
+    distance = rendering['distance'][:n_samples, None]
+    origins_ = reshape_noise(noisy_rays.origins)
+    directions_ = reshape_noise(noisy_rays.directions)
+    distance_ = reshape_noise(rendering_noise['distance'])
+
+    mask = (rendering['acc'][:n_samples, None] >
+            config.acc_threshold_for_consistency_loss)
+
+    if config.consistency_distance_loss_type == 'mse':
+      distance_mse = ((origins + directions * distance) -
+                      (origins_ + directions_ * distance_)) ** 2
+      distance_mse = distance_mse.mean(axis=1, keepdims=True)
+      distance_loss = _masked_mean(distance_mse.sum(axis=-1), mask)
+    else:
+      raise ValueError(f'Unknown consistency_distance_loss_type '
+                       f'{config.consistency_distance_loss_type}')
+    mult = (config.consistency_distance_coarse_loss_mult if i < num_levels - 1
+            else config.consistency_distance_loss_mult)
+    total_distance_loss += warmup_ratio * mult * distance_loss
+  return total_distance_loss
+
+
+def accumulated_weights_loss(renderings, config):
+  """(1 - acc)^2 on the final level: push rays to full opacity
+  (ref: train_utils.py:309-312)."""
+  return config.accumulated_weights_loss_mult * jnp.mean(
+      (1 - renderings[-1]['acc']) ** 2)
+
+
+def weights_entropy_loss(num_levels, renderings, ray_history, config,
+                         warmup_ratio):
+  """Shannon entropy of compositing weights on high-opacity rays
+  (ref: train_utils.py:314-325)."""
+  total_loss = 0.0
+  for i, (rendering, ray_results) in enumerate(zip(renderings, ray_history)):
+    mask = rendering['acc'] > config.acc_threshold_for_weights_entropy_loss
+    w = ray_results['weights']
+    ent = (-w * jnp.log(w + 1e-10)).sum(axis=-1)
+    loss = _masked_mean(ent, mask)
+    mult = (config.weights_entropy_coarse_loss_mult if i < num_levels - 1
+            else config.weights_entropy_loss_mult)
+    total_loss += warmup_ratio * mult * loss
+  return total_loss
