@@ -1,0 +1,94 @@
+"""Training-throughput benchmark: Ref-NeRF train rays/sec on one chip.
+
+Runs the flagship Ref-NeRF architecture (blender_refnerf.gin: 2 levels x 128
+samples, 8x256 spatial + 8x256 directional MLP, IDE/reflections/nested-grad
+normals) through the full jitted train step on synthetic rays and reports
+sustained training rays/sec.
+
+Prints ONE JSON line:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N / A100_REFERENCE_RAYS_PER_SEC}
+
+Baseline note: the reference publishes no throughput numbers (BASELINE.md).
+A100_REFERENCE_RAYS_PER_SEC is our measured-order estimate for the eager
+PyTorch reference (batch 1024 at ~2-3 it/s on A100 with double-backprop
+normals) = 3000 rays/s; vs_baseline > 5 meets the BASELINE.json north star.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+A100_REFERENCE_RAYS_PER_SEC = 3000.0
+
+BATCH_SIZE = int(os.environ.get('BENCH_BATCH', 4096))
+WARMUP_STEPS = 3
+MEASURE_STEPS = int(os.environ.get('BENCH_STEPS', 20))
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  os.makedirs('.jax_cache', exist_ok=True)
+  jax.config.update('jax_compilation_cache_dir', '.jax_cache')
+
+  from refnerf_tpu import configs as configs_lib
+  from refnerf_tpu.cameras import rays as rays_lib
+  from refnerf_tpu.models import construct
+  from refnerf_tpu.train import step as step_lib
+
+  config, gin = configs_lib.parse(
+      [os.path.join(os.path.dirname(__file__), 'configs',
+                    'blender_refnerf.gin')],
+      [f'Config.batch_size = {BATCH_SIZE}',
+       'Config.randomized = False',
+       'Config.sample_noise_size = 0'])
+
+  model = construct.construct_model(config, gin)
+  params = construct.init_params(jax.random.PRNGKey(0), model)
+  state = step_lib.create_train_state(config, model, params)
+
+  rng = np.random.RandomState(0)
+  d = rng.randn(BATCH_SIZE, 3).astype(np.float32)
+  v = d / np.linalg.norm(d, axis=-1, keepdims=True)
+  rays = rays_lib.dummy_rays(BATCH_SIZE).replace(
+      origins=jnp.asarray(rng.randn(BATCH_SIZE, 3).astype(np.float32) * 0.1),
+      directions=jnp.asarray(d),
+      viewdirs=jnp.asarray(v),
+      radii=jnp.full((BATCH_SIZE, 1), 0.001),
+      lossmult=jnp.ones((BATCH_SIZE, 1)),
+      near=jnp.full((BATCH_SIZE, 1), float(config.near)),
+      far=jnp.full((BATCH_SIZE, 1), float(config.far)))
+  batch = rays_lib.Batch(
+      rays=rays,
+      rgb=jnp.asarray(
+          rng.uniform(0, 1, (BATCH_SIZE, 3)).astype(np.float32)))
+
+  train_step = jax.jit(step_lib.make_train_step(model, config),
+                       donate_argnums=(0,))
+
+  for _ in range(WARMUP_STEPS):
+    state, stats = train_step(state, batch)
+  jax.block_until_ready(stats['loss'])
+
+  t0 = time.perf_counter()
+  for _ in range(MEASURE_STEPS):
+    state, stats = train_step(state, batch)
+  jax.block_until_ready(stats['loss'])
+  elapsed = time.perf_counter() - t0
+
+  steps_per_sec = MEASURE_STEPS / elapsed
+  rays_per_sec = BATCH_SIZE * steps_per_sec
+
+  print(json.dumps({
+      'metric': 'train_rays_per_sec',
+      'value': round(rays_per_sec, 1),
+      'unit': 'rays/s',
+      'vs_baseline': round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
+  }))
+
+
+if __name__ == '__main__':
+  main()

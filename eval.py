@@ -1,0 +1,31 @@
+"""Evaluation CLI: loads the newest checkpoint and runs the test loop.
+
+Same flag surface as the reference (eval.py:85) under the 'eval' gin scope.
+Writes metric_{psnr,ssim,lpips}.txt, color-corrected variants,
+render_times.txt and avg_metrics.txt next to the checkpoints.
+"""
+
+import random
+
+import numpy as np
+from absl import app
+
+from refnerf_tpu import configs as configs_lib
+
+
+def main(unused_argv):
+  config, gin = configs_lib.load_config(scope='eval', save_config=False)
+  random.seed(config.seed)
+  np.random.seed(config.seed)
+
+  from refnerf_tpu.system import NeRFSystem
+
+  system = NeRFSystem(config, gin)
+  step = system.restore_latest()
+  print(f'Evaluating checkpoint at step {step}')
+  system.test(step=step)
+
+
+if __name__ == '__main__':
+  configs_lib.define_common_flags()
+  app.run(main)

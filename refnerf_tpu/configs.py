@@ -44,6 +44,8 @@ class Config:
   render_path: bool = False
   llffhold: int = 8
   llff_use_all_images_for_training: bool = False
+  dtuhold: int = 8               # every-Nth test split for DTU
+  dtu_light_cond: int = 2        # DTU light condition index (7 == 'max')
   use_tiffs: bool = False
   compute_disp_metrics: bool = False
   compute_normal_metrics: bool = False

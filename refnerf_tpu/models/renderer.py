@@ -1,0 +1,101 @@
+"""Full-image rendering: chunked, jit-once, mesh-shardable.
+
+Replaces the reference's eager per-chunk loop (models.py:763-825). Rays are
+padded to a whole number of fixed-size chunks so ONE compiled program serves
+every chunk (static shapes); chunks can additionally be sharded across the
+device mesh, tiling a frame over the slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refnerf_tpu.cameras import rays as rays_lib
+from refnerf_tpu.parallel import mesh as mesh_lib
+
+
+def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
+                 rng: Optional[Any] = None, mesh=None,
+                 verbose: bool = False) -> Dict[str, Any]:
+  """Render all pixels of an image in fixed-size ray chunks.
+
+  Args:
+    render_fn: (rays) -> (renderings, ray_history); typically a jitted
+      partial of model.apply at a given train_frac.
+    rays: a Rays pytree shaped [H, W, ...].
+    config: Config (render_chunk_size, vis_num_rays).
+    rng: optional key for the deterministic vis-bundle subsample.
+    mesh: optional device mesh; chunks are sharded along the ray axis.
+
+  Returns:
+    dict of [H, W, ...] buffers + 'ray_' bundles (lists over levels).
+  """
+  height, width = rays.origins.shape[:2]
+  num_rays = height * width
+  rays = rays.reshape(num_rays)
+
+  chunk = config.render_chunk_size
+  padded = ((num_rays + chunk - 1) // chunk) * chunk
+  padding = padded - num_rays
+  if padding > 0:
+    pad_fn = lambda x: jnp.concatenate(
+        [x, jnp.repeat(x[-1:], padding, axis=0)], axis=0)
+    rays = jax.tree_util.tree_map(pad_fn, rays)
+
+  sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
+
+  chunks = []
+  for idx0 in range(0, padded, chunk):
+    chunk_rays = jax.tree_util.tree_map(lambda x: x[idx0:idx0 + chunk], rays)
+    if sharding is not None:
+      chunk_rays = jax.tree_util.tree_map(
+          lambda x: jax.device_put(x, sharding), chunk_rays)
+    chunk_renderings, _ = render_fn(chunk_rays)
+
+    # Keep the final level's 2D buffers, plus per-level ray bundles.
+    chunk_rendering = dict(chunk_renderings[-1])
+    for k in chunk_renderings[0]:
+      if k.startswith('ray_'):
+        chunk_rendering[k] = [r[k] for r in chunk_renderings]
+    chunks.append(jax.device_get(chunk_rendering))
+
+  # Merge chunks (concatenate along the ray axis).
+  rendering = {}
+  for k in chunks[0]:
+    if isinstance(chunks[0][k], list):
+      rendering[k] = [
+          np.concatenate([c[k][i] for c in chunks])
+          for i in range(len(chunks[0][k]))]
+    else:
+      rendering[k] = np.concatenate([c[k] for c in chunks])
+
+  for k, z in rendering.items():
+    if not k.startswith('ray_'):
+      z = z[:num_rays]  # strip chunk padding
+      rendering[k] = z.reshape((height, width) + z.shape[1:])
+
+  # Deterministically subsample a fresh vis ray bundle from the concatenation.
+  keys = [k for k in rendering if k.startswith('ray_')]
+  if keys:
+    num_bundle_rays = rendering[keys[0]][0].shape[0]
+    perm_rng = np.random.default_rng(0 if rng is None else np.asarray(rng)[-1])
+    ray_idx = perm_rng.permutation(num_bundle_rays)[:config.vis_num_rays]
+    for k in keys:
+      rendering[k] = [r[ray_idx] for r in rendering[k]]
+
+  return rendering
+
+
+def make_render_fn(model, params, train_frac: float = 1.0,
+                   compute_extras: bool = True):
+  """A jitted full-extras forward at fixed train_frac (eval/render use)."""
+  @jax.jit
+  def render_fn(rays):
+    return model.apply({'params': params}, rays, train_frac=train_frac,
+                       compute_extras=compute_extras, train=False)
+  return render_fn

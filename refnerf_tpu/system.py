@@ -1,0 +1,435 @@
+"""The training/eval/render orchestrator.
+
+Replaces the reference's Lightning `RefNeRFSystem` (internal/nerf_system.py)
+with an explicit loop around ONE jitted train step:
+
+  - datasets feed integer pixel ids; rays are cast on device inside the step;
+  - stats (per-loss values, per-param weight/grad norms, psnr, rays/sec,
+    preemption-robust timed psnr) stream to TensorBoard every `print_every`;
+  - every `checkpoint_every` steps: full-image validation render ->
+    `val/psnr` -> orbax checkpoint (top-k on val psnr + latest);
+  - test loop: color correction (float64 host lstsq), optional quantize/crop,
+    PSNR/SSIM(/LPIPS), per-image render_times.txt / metric_*.txt /
+    avg_metrics.txt dumps;
+  - path rendering: resumable, multi-job strided, per-buffer image dumps,
+    video assembly.
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from refnerf_tpu import configs as configs_lib
+from refnerf_tpu import metrics as metrics_lib
+from refnerf_tpu import vis as vis_lib
+from refnerf_tpu.cameras import camera_utils
+from refnerf_tpu.cameras import rays as rays_lib
+from refnerf_tpu.data import datasets as datasets_lib
+from refnerf_tpu.data import prefetch as prefetch_lib
+from refnerf_tpu.models import construct as construct_lib
+from refnerf_tpu.models import renderer as renderer_lib
+from refnerf_tpu.ops import image as image_ops
+from refnerf_tpu.ops import ref_utils
+from refnerf_tpu.parallel import mesh as mesh_lib
+from refnerf_tpu.train import checkpoints as ckpt_lib
+from refnerf_tpu.train import step as step_lib
+from refnerf_tpu.utils import io as io_lib
+
+TIME_PRECISION = 1000  # integer milliseconds, for preemption-robust timing
+
+
+def _flatten_stats(stats, prefix=''):
+  out = {}
+  for k, v in stats.items():
+    key = f'{prefix}/{k}' if prefix else k
+    if isinstance(v, dict):
+      out.update(_flatten_stats(v, key))
+    else:
+      out[key] = np.asarray(v)
+  return out
+
+
+class NeRFSystem:
+  """Builds and runs the full train/eval/render pipeline for one config."""
+
+  def __init__(self, config, gin, summary_writer=None):
+    self.config = config
+    self.gin = gin
+    self.summary_writer = summary_writer
+    self.model = construct_lib.construct_model(config, gin)
+    params = construct_lib.init_params(
+        jax.random.PRNGKey(config.seed), self.model)
+    self.state = step_lib.create_train_state(config, self.model, params)
+    self.metric_harness = metrics_lib.MetricHarness()
+    self.mesh = mesh_lib.create_mesh() if jax.device_count() > 1 else None
+    self.total_time = 0
+    self.total_steps = 0
+
+    self.train_dataset = None
+    self.val_dataset = None
+
+  # ------------------------------------------------------------------ setup
+
+  def setup_datasets(self, train=True, val=True):
+    if train and self.train_dataset is None:
+      self.train_dataset = datasets_lib.load_dataset(
+          'train', self.config.data_dir, self.config)
+    if val and self.val_dataset is None:
+      self.val_dataset = datasets_lib.load_dataset(
+          'test', self.config.data_dir, self.config)
+
+  def _raycast_fn(self):
+    dataset = self.train_dataset
+    camtype = dataset.camtype
+    return lambda cameras, pixels: camera_utils.cast_ray_batch(
+        cameras, pixels, camtype)
+
+  def _device_cameras(self):
+    pixtocams, camtoworlds, distortion_params, pixtocam_ndc = (
+        self.train_dataset.cameras)
+    return (jnp.asarray(pixtocams), jnp.asarray(camtoworlds),
+            distortion_params,
+            None if pixtocam_ndc is None else jnp.asarray(pixtocam_ndc))
+
+  def train_frac(self, step):
+    return float(np.clip((step - 1) / (self.config.max_steps - 1), 0, 1))
+
+  # ------------------------------------------------------------------ train
+
+  def train(self):
+    """The main training loop."""
+    config = self.config
+    self.setup_datasets()
+
+    ckpt_mgr = ckpt_lib.CheckpointManager(
+        ckpt_lib.checkpoint_dir(config), save_top_k=config.save_top_k)
+    if config.resume_path or ckpt_mgr.latest_step() is not None:
+      try:
+        self.state = ckpt_mgr.restore(self.state)
+        print(f'Resumed from step {int(self.state.step)}')
+      except FileNotFoundError:
+        pass
+
+    cameras = self._device_cameras()
+    train_step = jax.jit(
+        step_lib.make_train_step(self.model, config,
+                                 raycast_fn=self._raycast_fn()),
+        donate_argnums=(0,))
+
+    batches = prefetch_lib.training_batches(
+        self.train_dataset, mesh=None, threaded=True)
+
+    num_params = sum(
+        int(np.prod(np.shape(p)))
+        for p in jax.tree_util.tree_leaves(self.state.params))
+    print(f'Training with {num_params} parameters, '
+          f'batch size {config.batch_size}')
+
+    stats_buffer = []
+    train_start_time = time.time()
+    first_step = int(self.state.step)
+    max_steps = config.max_steps
+    if config.early_exit_steps is not None:
+      max_steps = min(max_steps, config.early_exit_steps)
+
+    for step in range(first_step, max_steps):
+      batch = next(batches)
+      self.state, stats = train_step(self.state, batch, cameras)
+      stats_buffer.append(stats)
+
+      if step == first_step or (step + 1) % config.print_every == 0:
+        # Pull stats to host only at summary boundaries.
+        stats_buffer = jax.device_get(stats_buffer)
+        elapsed = time.time() - train_start_time
+        steps_per_sec = len(stats_buffer) / elapsed
+        rays_per_sec = config.batch_size * steps_per_sec
+
+        self.total_time += int(round(TIME_PRECISION * elapsed))
+        self.total_steps += len(stats_buffer)
+        approx_total_time = int(round(
+            step * self.total_time / max(1, self.total_steps)))
+
+        if self.summary_writer is not None:
+          self._write_train_summaries(
+              step, stats_buffer, steps_per_sec, rays_per_sec, num_params,
+              approx_total_time)
+        last = _flatten_stats(stats_buffer[-1])
+        print(f'step {step + 1}/{max_steps}: '
+              f"loss={float(last['loss']):.5f} "
+              f"psnr={float(last['psnr']):.3f} "
+              f'{steps_per_sec:.2f} steps/s {rays_per_sec:.0f} rays/s')
+        stats_buffer = []
+        train_start_time = time.time()
+
+      if (step + 1) % config.checkpoint_every == 0 or step + 1 == max_steps:
+        val_psnr = self.validate(step + 1)
+        ckpt_mgr.save(step + 1, jax.device_get(self.state), val_psnr=val_psnr)
+        train_start_time = time.time()
+
+    ckpt_mgr.wait()
+    ckpt_mgr.close()
+
+  def _write_train_summaries(self, step, stats_buffer, steps_per_sec,
+                             rays_per_sec, num_params, approx_total_time):
+    w = self.summary_writer
+    fs = [_flatten_stats(s) for s in stats_buffer]
+    stats_stacked = {k: np.stack([f[k] for f in fs]) for k in fs[0]}
+    stats_split = {}
+    for k, v in stats_stacked.items():
+      if v.ndim == 1:
+        stats_split[k] = v
+      elif v.ndim == 2:
+        for i in range(v.shape[1]):
+          stats_split[f'{k}/{i}'] = v[:, i]
+    for k, v in stats_split.items():
+      w.add_histogram('train/' + k, v, step)
+      w.add_scalar(f'train/avg_{k}', float(np.mean(v)), step)
+      w.add_scalar(f'train/max_{k}', float(np.max(v)), step)
+    w.add_scalar('train/num_params', num_params, step)
+    w.add_scalar('train/steps_per_sec', steps_per_sec, step)
+    w.add_scalar('train/rays_per_sec', rays_per_sec, step)
+    avg_psnr = float(np.mean(stats_split['psnr']))
+    w.add_scalar('train/avg_psnr_timed', avg_psnr,
+                 self.total_time // TIME_PRECISION)
+    w.add_scalar('train/avg_psnr_timed_approx', avg_psnr,
+                 approx_total_time // TIME_PRECISION)
+
+  # ------------------------------------------------------------------ val
+
+  def validate(self, step) -> float:
+    """Render val images, log panels, return mean PSNR."""
+    config = self.config
+    self.setup_datasets()
+    render_fn = renderer_lib.make_render_fn(
+        self.model, self.state.params,
+        train_frac=self.train_frac(step), compute_extras=True)
+
+    psnrs = []
+    n = min(config.val_sample_num, self.val_dataset.size)
+    for _ in range(n):
+      batch = next(self.val_dataset)
+      eval_start = time.time()
+      rendering = renderer_lib.render_image(render_fn, batch.rays, config)
+      eval_time = time.time() - eval_start
+      num_rays = int(np.prod(np.asarray(batch.rays.directions).shape[:-1]))
+
+      rgb = rendering['rgb']
+      if config.supervised_by_linear_rgb:
+        rgb = np.asarray(image_ops.linear_to_srgb(rgb))
+      metric = self.metric_harness(rgb, np.asarray(batch.rgb))
+      psnr = metric['psnr']
+      psnrs.append(0.0 if np.isnan(psnr) else psnr)
+
+      if self.summary_writer is not None:
+        self.summary_writer.add_scalar('val/rays_per_sec',
+                                       num_rays / eval_time, step)
+        vis_suite = vis_lib.visualize_suite(
+            rendering, batch.rays, config.supervised_by_linear_rgb)
+        self.summary_writer.add_image(
+            'val/true_color', np.asarray(batch.rgb), step, dataformats='HWC')
+        if batch.normals is not None:
+          self.summary_writer.add_image(
+              'val/true_normals', np.asarray(batch.normals) / 2.0 + 0.5, step,
+              dataformats='HWC')
+        for k, v in vis_suite.items():
+          self.summary_writer.add_image(
+              'val/output_' + k, v, step,
+              dataformats='HWC' if v.ndim == 3 else 'HW')
+
+    mean_psnr = float(np.mean(psnrs)) if psnrs else 0.0
+    if self.summary_writer is not None:
+      self.summary_writer.add_scalar('val/psnr', mean_psnr, step)
+    print(f'validation @ step {step}: psnr={mean_psnr:.3f}')
+    return mean_psnr
+
+  # ------------------------------------------------------------------ test
+
+  def test(self, step: Optional[int] = None):
+    """Full test-set evaluation with color correction and metric dumps."""
+    config = self.config
+    self.setup_datasets(train=False)
+    self.metric_harness = metrics_lib.MetricHarness(compute_lpips=True)
+    step = step if step is not None else int(self.state.step)
+    train_frac = step / config.max_steps
+    render_fn = renderer_lib.make_render_fn(
+        self.model, self.state.params, train_frac=train_frac,
+        compute_extras=True)
+
+    out_dir = os.path.join(
+        ckpt_lib.checkpoint_dir(config),
+        'path_renders' if config.render_path else 'test_preds')
+    if config.eval_save_output:
+      os.makedirs(out_dir, exist_ok=True)
+    path_fn = lambda x: os.path.join(out_dir, x)
+
+    metrics, metrics_cc, render_times, showcases = [], [], [], []
+    num_eval = min(self.val_dataset.size, config.eval_dataset_limit)
+
+    for idx in range(num_eval):
+      batch = next(self.val_dataset)
+      eval_start = time.time()
+      rendering = renderer_lib.render_image(render_fn, batch.rays, config)
+      render_times.append(time.time() - eval_start)
+
+      rendering = {k: np.asarray(v, np.float64)
+                   for k, v in rendering.items() if not k.startswith('ray_')}
+      gt_rgb = np.asarray(batch.rgb, np.float64)
+      rendering['rgb_cc'] = image_ops.color_correct(rendering['rgb'], gt_rgb)
+
+      if not config.eval_only_once:
+        showcases.append((idx, rendering, batch))
+      if not config.render_path:
+        rgb = rendering['rgb']
+        rgb_cc = rendering['rgb_cc']
+        rgb_gt = gt_rgb
+        if config.eval_quantize_metrics:
+          # Reported metrics must reproduce from the saved 8-bit PNGs.
+          rgb = np.round(rgb * 255) / 255
+          rgb_cc = np.round(rgb_cc * 255) / 255
+        if config.eval_crop_borders > 0:
+          c = config.eval_crop_borders
+          rgb, rgb_cc, rgb_gt = (x[c:-c, c:-c] for x in (rgb, rgb_cc, rgb_gt))
+
+        metric = self.metric_harness(rgb, rgb_gt)
+        metric_cc = self.metric_harness(rgb_cc, rgb_gt)
+
+        if config.compute_disp_metrics and batch.disps is not None:
+          for tag in ['mean', 'median']:
+            key = f'distance_{tag}'
+            if key in rendering:
+              disparity = 1 / (1 + rendering[key])
+              metric[f'disparity_{tag}_mse'] = float(
+                  ((disparity - np.asarray(batch.disps)) ** 2).mean())
+
+        if config.compute_normal_metrics and batch.normals is not None:
+          weights = rendering['acc'] * np.asarray(batch.alphas)
+          norm_gt = np.asarray(
+              ref_utils.l2_normalize(np.asarray(batch.normals)))
+          for key, val in rendering.items():
+            if key.startswith('normals') and val is not None:
+              norm = np.asarray(ref_utils.l2_normalize(val))
+              metric[key + '_mae'] = float(ref_utils.compute_weighted_mae(
+                  jnp.asarray(weights), jnp.asarray(norm),
+                  jnp.asarray(norm_gt)))
+
+        metrics.append(metric)
+        metrics_cc.append(metric_cc)
+        print(f"eval {idx + 1}/{num_eval}: psnr={metric['psnr']:.3f} "
+              f'time={render_times[-1]:.2f}s')
+
+      if config.eval_save_output and config.eval_render_interval > 0:
+        if idx % config.eval_render_interval == 0:
+          io_lib.save_img_u8(rendering['rgb'], path_fn(f'color_{idx:03d}.png'))
+          io_lib.save_img_u8(rendering['rgb_cc'],
+                             path_fn(f'color_cc_{idx:03d}.png'))
+          for key in ['distance_mean', 'distance_median']:
+            if key in rendering:
+              io_lib.save_img_f32(rendering[key],
+                                  path_fn(f'{key}_{idx:03d}.tiff'))
+          for key in ['normals_pred']:
+            if key in rendering:
+              io_lib.save_img_u8(rendering[key] / 2.0 + 0.5,
+                                 path_fn(f'{key}_{idx:03d}.png'))
+          io_lib.save_img_f32(rendering['acc'], path_fn(f'acc_{idx:03d}.tiff'))
+
+    if config.eval_save_output and not config.render_path and metrics:
+      with open(path_fn('render_times.txt'), 'w') as f:
+        f.write(' '.join(str(r) for r in render_times))
+      for name in metrics[0]:
+        with open(path_fn(f'metric_{name}.txt'), 'w') as f:
+          f.write(' '.join(str(m[name]) for m in metrics))
+      for name in metrics_cc[0]:
+        with open(path_fn(f'metric_cc_{name}.txt'), 'w') as f:
+          f.write(' '.join(str(m[name]) for m in metrics_cc))
+      if config.eval_save_ray_data:
+        for i, r, b in showcases:
+          rays = {k: v for k, v in r.items() if 'ray_' in k}
+          np.set_printoptions(threshold=sys.maxsize)
+          with open(path_fn(f'ray_data_{i}.txt'), 'w') as f:
+            f.write(repr(rays))
+      with open(path_fn('avg_metrics.txt'), 'w') as f:
+        f.write(f'render_time: {np.mean(render_times)}\n')
+        for name in metrics[0]:
+          f.write(f'{name}: {np.mean([m[name] for m in metrics])}\n')
+        for name in metrics_cc[0]:
+          f.write(f'cc_{name}: {np.mean([m[name] for m in metrics_cc])}\n')
+    return metrics
+
+  # ------------------------------------------------------------------ render
+
+  def render(self, dataset, base_dir, out_dir, out_name):
+    """Resumable, multi-job-strided path rendering + video assembly
+    (ref: nerf_system.py:467-537)."""
+    config = self.config
+    zpad = max(3, len(str(dataset.size - 1)))
+    path_fn = lambda x: os.path.join(out_dir, x)
+    idx_to_str = lambda idx: str(idx).zfill(zpad)
+    os.makedirs(out_dir, exist_ok=True)
+
+    render_fn = renderer_lib.make_render_fn(
+        self.model, self.state.params, train_frac=1.0, compute_extras=True)
+
+    for idx in range(dataset.size):
+      if idx % config.render_num_jobs != config.render_job_id:
+        continue
+      idx_str = idx_to_str(idx)
+      curr_file = path_fn(f'color_{idx_str}.png')
+      next_idx_str = idx_to_str(idx + config.render_num_jobs)
+      next_file = path_fn(f'color_{next_idx_str}.png')
+      if os.path.exists(curr_file) and os.path.exists(next_file):
+        print(f'Image {idx}/{dataset.size} already exists, skipping')
+        continue
+      print(f'Evaluating image {idx + 1}/{dataset.size}')
+      eval_start = time.time()
+      batch = dataset.generate_ray_batch(idx)
+      rendering = renderer_lib.render_image(render_fn, batch.rays, config)
+      print(f'Rendered in {time.time() - eval_start:0.3f}s')
+
+      rendering = {k: np.asarray(v, np.float64)
+                   for k, v in rendering.items()
+                   if k in ['rgb', 'diffuse', 'specular', 'normals_pred',
+                            'acc', 'distance_mean', 'distance_median',
+                            'roughness']}
+
+      io_lib.save_img_u8(rendering['rgb'], path_fn(f'color_{idx_str}.png'))
+      io_lib.save_img_u8(rendering['diffuse'],
+                         path_fn(f'diffuse_{idx_str}.png'))
+      io_lib.save_img_u8(rendering['specular'],
+                         path_fn(f'specular_{idx_str}.png'))
+      if 'normals_pred' in rendering:
+        io_lib.save_img_u8(rendering['normals_pred'] / 2.0 + 0.5,
+                           path_fn(f'normals_pred_{idx_str}.png'))
+      io_lib.save_img_f32(rendering['distance_mean'],
+                          path_fn(f'distance_mean_{idx_str}.tiff'))
+      io_lib.save_img_f32(rendering['distance_median'],
+                          path_fn(f'distance_median_{idx_str}.tiff'))
+      io_lib.save_img_f32(rendering['acc'], path_fn(f'acc_{idx_str}.tiff'))
+      if 'roughness' in rendering:
+        io_lib.save_img_u8(rendering['roughness'],
+                           path_fn(f'rho_{idx_str}.png'),
+                           mask=rendering['acc'])
+
+    num_files = len(glob.glob(path_fn('acc_*.tiff')))
+    if num_files == dataset.size:
+      print(f'All files found, creating videos '
+            f'(job {config.render_job_id}).')
+      vis_lib.create_videos(config, base_dir, out_dir, out_name, dataset.size)
+
+  # ------------------------------------------------------------------ ckpt
+
+  def restore_latest(self):
+    mgr = ckpt_lib.CheckpointManager(
+        ckpt_lib.checkpoint_dir(self.config),
+        save_top_k=self.config.save_top_k)
+    self.state = mgr.restore(jax.device_get(self.state))
+    mgr.close()
+    return int(self.state.step)

@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The host image's sitecustomize imports jax before this file runs, so the
+# env var alone is not enough - force the platform through the live config.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: XLA-CPU compiles dominate test wall-clock on
 # small hosts; cache them across pytest invocations.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")

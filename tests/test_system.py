@@ -1,0 +1,119 @@
+"""End-to-end: train a tiny Ref-NeRF on a synthetic Blender scene, validate,
+checkpoint, resume, and evaluate - the whole system layer on the CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from refnerf_tpu import configs as configs_lib
+from refnerf_tpu.system import NeRFSystem
+from tests.test_data import _make_blender_scene
+
+_TINY = """
+Config.dataset_loader = 'blender'
+Config.batching = 'all_images'
+Config.near = 2.
+Config.far = 6.
+Config.batch_size = 32
+Config.render_chunk_size = 64
+Config.max_steps = 6
+Config.checkpoint_every = 3
+Config.print_every = 2
+Config.val_sample_num = 1
+Config.lr_delay_steps = 2
+Config.randomized = False
+Config.sample_noise_size = 0
+Config.data_loss_type = 'mse'
+Config.interlevel_loss_mult = 0.0
+Config.orientation_loss_mult = 0.1
+Config.orientation_coarse_loss_mult = 0.01
+Config.predicted_normal_loss_mult = 3e-4
+Config.predicted_normal_coarse_loss_mult = 3e-5
+Config.eval_dataset_limit = 1
+Config.save_top_k = 2
+Model.num_levels = 2
+Model.single_mlp = True
+Model.num_prop_samples = 8
+Model.num_nerf_samples = 8
+Model.anneal_slope = 0.
+Model.dilation_bias = 0.
+Model.dilation_multiplier = 0.
+Model.single_jitter = False
+Model.resample_padding = 0.01
+NerfMLP.net_depth = 2
+NerfMLP.net_width = 16
+NerfMLP.net_depth_viewdirs = 1
+NerfMLP.net_width_viewdirs = 16
+NerfMLP.bottleneck_width = 8
+NerfMLP.max_deg_point = 4
+NerfMLP.deg_view = 2
+NerfMLP.basis_shape = 'octahedron'
+NerfMLP.basis_subdivisions = 1
+NerfMLP.density_bias = 0.5
+NerfMLP.disable_density_normals = False
+NerfMLP.enable_pred_normals = True
+NerfMLP.use_directional_enc = True
+NerfMLP.use_reflections = True
+NerfMLP.enable_pred_roughness = True
+NerfMLP.use_diffuse_color = True
+NerfMLP.use_specular_tint = True
+NerfMLP.use_n_dot_v = True
+"""
+
+
+@pytest.fixture(scope='module')
+def scene_dir(tmp_path_factory):
+  root = str(tmp_path_factory.mktemp('scene') / 'lego')
+  _make_blender_scene(root, n_frames=3, res=16, split='train')
+  _make_blender_scene(root, n_frames=2, res=16, split='test')
+  return root
+
+
+def test_end_to_end_train_eval(scene_dir, tmp_path_factory):
+  ckpt_root = str(tmp_path_factory.mktemp('exp'))
+  config, gin = configs_lib.parse(None, [
+      _TINY,
+      f"Config.data_dir = '{scene_dir}'",
+      f"Config.checkpoint_dir = '{ckpt_root}'",
+      "Config.exp_name = 'tiny_test'",
+  ])
+
+  system = NeRFSystem(config, gin)
+  system.train()
+  final_step = int(system.state.step)
+  assert final_step == 6
+
+  # A checkpoint exists and is restorable.
+  system2 = NeRFSystem(config, gin)
+  step = system2.restore_latest()
+  assert step == 6
+  p1 = np.asarray(
+      list(system.state.params['nerf_mlp']['raw_density'].values())[0])
+  p2 = np.asarray(
+      list(system2.state.params['nerf_mlp']['raw_density'].values())[0])
+  np.testing.assert_allclose(p1, p2)
+
+  # Evaluation produces metrics and writes dumps.
+  metrics = system2.test(step=step)
+  assert len(metrics) == 1
+  assert np.isfinite(metrics[0]['psnr'])
+  assert 0.0 <= metrics[0]['ssim'] <= 1.0
+  out_dir = os.path.join(ckpt_root, 'ckpt', 'tiny', 'tiny_test', 'test_preds')
+  assert os.path.exists(os.path.join(out_dir, 'avg_metrics.txt'))
+  assert os.path.exists(os.path.join(out_dir, 'metric_psnr.txt'))
+  assert os.path.exists(os.path.join(out_dir, 'color_000.png'))
+  assert os.path.exists(os.path.join(out_dir, 'render_times.txt'))
+
+
+def test_validation_returns_psnr(scene_dir, tmp_path_factory):
+  ckpt_root = str(tmp_path_factory.mktemp('exp2'))
+  config, gin = configs_lib.parse(None, [
+      _TINY,
+      f"Config.data_dir = '{scene_dir}'",
+      f"Config.checkpoint_dir = '{ckpt_root}'",
+      "Config.exp_name = 'tiny_val'",
+  ])
+  system = NeRFSystem(config, gin)
+  psnr = system.validate(step=1)
+  assert np.isfinite(psnr) and psnr > 0

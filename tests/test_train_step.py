@@ -65,6 +65,7 @@ def _setup(extra=''):
           (lambda v: v / np.linalg.norm(v, axis=-1, keepdims=True))(
               rng.randn(b, 3)).astype(np.float32)),
       radii=jnp.full((b, 1), 0.01),
+      lossmult=jnp.ones((b, 1)),
       near=jnp.full((b, 1), 0.5),
       far=jnp.full((b, 1), 3.0))
   batch = rays_lib.Batch(
