@@ -422,7 +422,13 @@ def cast_ray_batch(cameras, pixels, camtype=ProjectionType.PERSPECTIVE):
   """
   pixtocams, camtoworlds, distortion_params, pixtocam_ndc = cameras
 
+  # Per-pixel camera index, broadcast (left-aligned) to the full pixel shape
+  # so indexed camera matrices batch-match the stacked pixel directions.
   cam_idx = pixels.cam_idx[..., 0]
+  extra = pixels.pix_x_int.ndim - cam_idx.ndim
+  cam_idx = jnp.broadcast_to(
+      jnp.reshape(cam_idx, cam_idx.shape + (1,) * extra),
+      pixels.pix_x_int.shape)
   batch_index = lambda arr: arr if arr.ndim == 2 else arr[cam_idx]
 
   origins, directions, viewdirs, radii, imageplane = pixels_to_rays(
