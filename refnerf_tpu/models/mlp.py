@@ -88,6 +88,9 @@ class MLP(nn.Module):
   warp_fn: Optional[Any] = None
   basis_shape: str = 'icosahedron'      # 'octahedron'+1 subdiv == eye(3)
   basis_subdivisions: int = 2
+  # MXU precision knob: 'bfloat16' runs the dense trunks in bf16 (params and
+  # heads stay float32) - the standard TPU mixed-precision recipe.
+  compute_dtype: str = 'float32'
 
   def setup(self):
     if self.use_reflections and not (self.enable_pred_normals or
@@ -110,10 +113,16 @@ class MLP(nn.Module):
       self.dir_enc_fn = dir_enc_fn
 
     init = _weight_init(self.weight_init)
+    dtype = jnp.bfloat16 if self.compute_dtype == 'bfloat16' else jnp.float32
+    # Heads stay float32 (density/color precision); only the two dense trunks
+    # run at compute_dtype - they hold ~all the FLOPs (MXU work).
     dense = lambda w, name: nn.Dense(w, kernel_init=init, name=name)
+    dense_c = lambda w, name: nn.Dense(
+        w, kernel_init=init, name=name, dtype=dtype, param_dtype=jnp.float32)
 
     self.spatial_net = [
-        dense(self.net_width, f'spatial_{i}') for i in range(self.net_depth)]
+        dense_c(self.net_width, f'spatial_{i}')
+        for i in range(self.net_depth)]
     self.raw_density_layer = dense(1, 'raw_density')
     if self.enable_pred_specular_density:
       self.raw_specular_density_layer = dense(1, 'raw_specular_density')
@@ -129,7 +138,7 @@ class MLP(nn.Module):
     if self.bottleneck_width > 0:
       self.bottleneck_layer = dense(self.bottleneck_width, 'bottleneck')
     self.viewdir_mlp = [
-        dense(self.net_width_viewdirs, f'viewdir_{i}')
+        dense_c(self.net_width_viewdirs, f'viewdir_{i}')
         for i in range(self.net_depth_viewdirs)]
     self.rgb_layer = dense(self.num_rgb_channels, 'rgb')
 

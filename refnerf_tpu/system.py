@@ -43,6 +43,7 @@ from refnerf_tpu.parallel import mesh as mesh_lib
 from refnerf_tpu.train import checkpoints as ckpt_lib
 from refnerf_tpu.train import step as step_lib
 from refnerf_tpu.utils import io as io_lib
+from refnerf_tpu.utils import profiling
 
 TIME_PRECISION = 1000  # integer milliseconds, for preemption-robust timing
 
@@ -141,7 +142,9 @@ class NeRFSystem:
     if config.early_exit_steps is not None:
       max_steps = min(max_steps, config.early_exit_steps)
 
+    tracer = profiling.StepTracer()
     for step in range(first_step, max_steps):
+      tracer.step(step)
       batch = next(batches)
       self.state, stats = train_step(self.state, batch, cameras)
       stats_buffer.append(stats)
@@ -175,6 +178,7 @@ class NeRFSystem:
         ckpt_mgr.save(step + 1, jax.device_get(self.state), val_psnr=val_psnr)
         train_start_time = time.time()
 
+    tracer.close()
     ckpt_mgr.wait()
     ckpt_mgr.close()
 
