@@ -71,13 +71,17 @@ def main():
 
   for _ in range(WARMUP_STEPS):
     state, stats = train_step(state, batch)
-  jax.block_until_ready(stats['loss'])
+  # NOTE: a host transfer (float()) is the sync, NOT block_until_ready -
+  # the axon remote platform returns early from block_until_ready, which
+  # inflates throughput ~300x. One final fetch amortizes tunnel latency.
+  float(stats['loss'])
 
   t0 = time.perf_counter()
   for _ in range(MEASURE_STEPS):
     state, stats = train_step(state, batch)
-  jax.block_until_ready(stats['loss'])
+  final_loss = float(stats['loss'])
   elapsed = time.perf_counter() - t0
+  assert np.isfinite(final_loss), f'non-finite loss {final_loss}'
 
   steps_per_sec = MEASURE_STEPS / elapsed
   rays_per_sec = BATCH_SIZE * steps_per_sec
