@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -34,14 +35,18 @@ def construct_model(config, gin: Optional[ginlite.GinConfig] = None,
   gin = gin or ginlite.GinConfig()
   m_kwargs = dict(configs_lib.model_kwargs(gin, scope=scope))
   single_mlp = bool(m_kwargs.pop('single_mlp', False))
+  # Rematerialize MLP activations in the backward pass: trades FLOPs for
+  # HBM, the standard TPU recipe for large ray batches (bind `Model.remat`).
+  remat = bool(m_kwargs.pop('remat', False))
   if 'raydist_fn' in m_kwargs:
     m_kwargs['raydist_fn'] = _clean_raydist_fn(m_kwargs['raydist_fn'])
 
   nerf_kwargs = configs_lib.mlp_kwargs(gin, 'NerfMLP', scope=scope)
   prop_kwargs = configs_lib.mlp_kwargs(gin, 'PropMLP', scope=scope)
 
-  nerf_mlp = MLP(name='NerfMLP', **nerf_kwargs)
-  prop_mlp = None if single_mlp else MLP(name='PropMLP', **prop_kwargs)
+  mlp_cls = nn.remat(MLP, static_argnums=(4,)) if remat else MLP
+  nerf_mlp = mlp_cls(name='NerfMLP', **nerf_kwargs)
+  prop_mlp = None if single_mlp else mlp_cls(name='PropMLP', **prop_kwargs)
 
   return Model(
       nerf_mlp=nerf_mlp,

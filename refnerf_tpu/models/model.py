@@ -136,12 +136,14 @@ class Model(nn.Module):
         rng, key_mlp = jax.random.split(rng)
       else:
         key_mlp = None
+      # Positional call so nn.remat's static_argnums can pin `train`
+      # (construct.py wraps MLP in nn.remat when Model.remat is bound).
       ray_results = mlp(
           gaussians,
-          viewdirs=rays.viewdirs if self.use_viewdirs else None,
-          imageplane=rays.imageplane,
-          train=train,
-          rng=key_mlp)
+          rays.viewdirs if self.use_viewdirs else None,
+          rays.imageplane,
+          train,
+          key_mlp)
 
       weights = render.compute_alpha_weights(
           ray_results['density'], tdist, rays.directions,
