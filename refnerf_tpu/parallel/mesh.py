@@ -19,9 +19,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = 'data'
 
 
+def initialize_distributed():
+  """Multi-host init: call once per process before any jax computation.
+
+  On TPU pods jax.distributed.initialize() autodetects the coordinator from
+  the TPU environment; gradient reduction then spans ICI within a slice and
+  DCN across hosts with the same sharding annotations. No-op on one host.
+  """
+  import os
+  if (os.environ.get('COORDINATOR_ADDRESS')
+      or int(os.environ.get('JAX_PROCESS_COUNT', '1')) > 1):
+    jax.distributed.initialize()
+
+
 def create_mesh(devices: Optional[Sequence] = None,
                 n_devices: Optional[int] = None) -> Mesh:
-  """A 1D data-parallel mesh over the given (or all) devices."""
+  """A 1D data-parallel mesh over the given (or all addressable+remote)
+  devices. jax.devices() spans every process after initialize_distributed,
+  so the same call builds the pod-wide mesh on multi-host."""
   if devices is None:
     devices = jax.devices()
     if n_devices is not None:
