@@ -136,7 +136,9 @@ class MLP(nn.Module):
     if self.use_specular_tint:
       self.raw_tint_layer = dense(3, 'raw_tint')
     if self.bottleneck_width > 0:
-      self.bottleneck_layer = dense(self.bottleneck_width, 'bottleneck')
+      # The bottleneck is an internal feature vector feeding the directional
+      # trunk; it runs at compute_dtype (physical-quantity heads stay f32).
+      self.bottleneck_layer = dense_c(self.bottleneck_width, 'bottleneck')
     self.viewdir_mlp = [
         dense_c(self.net_width_viewdirs, f'viewdir_{i}')
         for i in range(self.net_depth_viewdirs)]

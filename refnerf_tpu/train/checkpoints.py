@@ -25,32 +25,44 @@ def checkpoint_dir(config) -> str:
 
 
 class CheckpointManager:
-  """Step-indexed TrainState checkpoints with best-PSNR retention."""
+  """Step-indexed TrainState checkpoints: top-k by val PSNR + always-latest.
+
+  Two orbax managers mirror the reference's ModelCheckpoint policy
+  (save_top_k on val/psnr AND save_last; train.py:62-70): `best/` retains the
+  k best-scoring steps, `last/` always holds the most recent step for resume.
+  """
 
   def __init__(self, directory: str, save_top_k: int = 5):
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
-    options = ocp.CheckpointManagerOptions(
+    self._last = ocp.CheckpointManager(
+        os.path.join(directory, 'last'),
+        options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True))
+    best_options = ocp.CheckpointManagerOptions(
         max_to_keep=max(save_top_k, 1),
-        best_fn=(lambda m: m.get('val_psnr', -np.inf)) if save_top_k > 0
-        else None,
+        best_fn=lambda m: m.get('val_psnr', -np.inf),
         best_mode='max',
         keep_checkpoints_without_metrics=True,
         create=True)
-    self._mgr = ocp.CheckpointManager(directory, options=options)
+    self._best = ocp.CheckpointManager(
+        os.path.join(directory, 'best'), options=best_options)
 
   def save(self, step: int, state, val_psnr: Optional[float] = None):
+    self._last.save(step, args=ocp.args.StandardSave(state))
     metrics = {'val_psnr': float(val_psnr)} if val_psnr is not None else None
-    self._mgr.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+    self._best.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
 
   def wait(self):
-    self._mgr.wait_until_finished()
+    self._last.wait_until_finished()
+    self._best.wait_until_finished()
 
   def latest_step(self) -> Optional[int]:
-    return self._mgr.latest_step()
+    steps = [s for s in (self._last.latest_step(), self._best.latest_step())
+             if s is not None]
+    return max(steps) if steps else None
 
   def best_step(self) -> Optional[int]:
-    return self._mgr.best_step()
+    return self._best.best_step()
 
   def restore(self, state_template, step: Optional[int] = None):
     """Restore into the structure of `state_template` (latest by default)."""
@@ -58,8 +70,11 @@ class CheckpointManager:
       step = self.latest_step()
     if step is None:
       raise FileNotFoundError('No checkpoint found.')
-    return self._mgr.restore(
-        step, args=ocp.args.StandardRestore(state_template))
+    args = ocp.args.StandardRestore(state_template)
+    if self._last.latest_step() == step:
+      return self._last.restore(step, args=args)
+    return self._best.restore(step, args=args)
 
   def close(self):
-    self._mgr.close()
+    self._last.close()
+    self._best.close()

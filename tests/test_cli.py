@@ -98,8 +98,8 @@ def test_train_cli(workdir):
   # Config snapshot written like the reference (configs.py:186-193).
   snap = root / 'exp' / 'logs' / 'cli' / 'cli_test' / 'config.gin'
   assert snap.exists()
-  # A checkpoint was produced.
-  ckpt_dir = root / 'exp' / 'ckpt' / 'cli' / 'cli_test'
+  # A checkpoint was produced (always-latest retention under last/).
+  ckpt_dir = root / 'exp' / 'ckpt' / 'cli' / 'cli_test' / 'last'
   assert any(p.name == '4' for p in ckpt_dir.iterdir()), list(
       ckpt_dir.iterdir())
 

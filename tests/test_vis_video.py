@@ -1,0 +1,42 @@
+import os
+
+import numpy as np
+import pytest
+
+from refnerf_tpu import configs as configs_lib
+from refnerf_tpu import vis as vis_lib
+from refnerf_tpu.utils import io as io_lib
+
+
+def test_write_video_fallback_or_ffmpeg(tmp_path):
+  frames = [np.full((16, 16, 3), i * 40, np.uint8) for i in range(5)]
+  path = str(tmp_path / 'out.mp4')
+  vis_lib._write_video(path, frames, fps=10, crf=18)
+  # Either an mp4 (ffmpeg present) or a gif fallback must exist.
+  assert os.path.exists(path) or os.path.exists(str(tmp_path / 'out.gif'))
+
+
+def test_create_videos_from_frames(tmp_path):
+  cfg = configs_lib.Config()
+  cfg.checkpoint_dir = 'exps/ckpt/scene'
+  cfg.render_video_fps = 10
+  out_dir = str(tmp_path / 'frames')
+  base_dir = str(tmp_path / 'videos')
+  os.makedirs(out_dir)
+  rng = np.random.RandomState(0)
+  n = 3
+  for i in range(n):
+    io_lib.save_img_u8(rng.uniform(0, 1, (16, 16, 3)),
+                       os.path.join(out_dir, f'color_{i:03d}.png'))
+    io_lib.save_img_u8(rng.uniform(0, 1, (16, 16, 3)),
+                       os.path.join(out_dir, f'diffuse_{i:03d}.png'))
+    io_lib.save_img_f32(rng.uniform(1, 5, (16, 16)),
+                        os.path.join(out_dir, f'distance_mean_{i:03d}.tiff'))
+    io_lib.save_img_f32(rng.uniform(0, 1, (16, 16)),
+                        os.path.join(out_dir, f'acc_{i:03d}.tiff'))
+  vis_lib.create_videos(cfg, base_dir, out_dir, 'test', n)
+  made = os.listdir(base_dir)
+  # color + diffuse + distance_mean + acc videos (mp4 or gif each).
+  tags = {m.split('_')[-1].split('.')[0] for m in made}
+  assert 'color' in tags and 'acc' in tags
+  assert len(made) >= 4
