@@ -238,15 +238,20 @@ class NeRFSystem:
                                        num_rays / eval_time, step)
         vis_suite = vis_lib.visualize_suite(
             rendering, batch.rays, config.supervised_by_linear_rgb)
+        # Optionally decimate TB images to conserve event-file size.
+        dec = max(config.vis_decimate, 1)
+        decimate = lambda x: x[::dec, ::dec] if dec > 1 else x
         self.summary_writer.add_image(
-            'val/true_color', np.asarray(batch.rgb), step, dataformats='HWC')
+            'val/true_color', decimate(np.asarray(batch.rgb)), step,
+            dataformats='HWC')
         if batch.normals is not None:
           self.summary_writer.add_image(
-              'val/true_normals', np.asarray(batch.normals) / 2.0 + 0.5, step,
+              'val/true_normals',
+              decimate(np.asarray(batch.normals)) / 2.0 + 0.5, step,
               dataformats='HWC')
         for k, v in vis_suite.items():
           self.summary_writer.add_image(
-              'val/output_' + k, v, step,
+              'val/output_' + k, decimate(v), step,
               dataformats='HWC' if v.ndim == 3 else 'HW')
 
     mean_psnr = float(np.mean(psnrs)) if psnrs else 0.0
