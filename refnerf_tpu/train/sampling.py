@@ -72,9 +72,11 @@ def sample_noisy_rays(rng, rays, rendering, sample_angle_range=0.0,
     return jnp.repeat(x[:n], a, axis=0)
 
   def rotate(x):
-    # [n, 3] x [a, 3, 3] -> [n, a, 3] -> sample-major [n*a, 3].
-    rotated = jnp.einsum('nj,akj->nak', x[:n], rot)
-    return rotated.reshape(n * a, 3)
+    # [n, ..., 3] x [a, 3, 3] -> sample-major [n*a, ..., 3] (ray i's `a`
+    # rotated copies contiguous; supports patch-shaped ray bundles).
+    rotated = jnp.einsum('...j,akj->...ak', x[:n], rot)   # [n, ..., a, 3]
+    rotated = jnp.moveaxis(rotated, -2, 1)                # [n, a, ..., 3]
+    return rotated.reshape((n * a,) + x.shape[1:])
 
   viewdirs_ = rotate(rays.viewdirs)
   directions_ = rotate(rays.directions)

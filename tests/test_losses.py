@@ -283,6 +283,34 @@ def test_sample_noisy_rays_preserves_surface_point():
   np.testing.assert_allclose(noisy_pt, orig_pt, atol=1e-5)
 
 
+def test_sample_noisy_rays_patch_shaped():
+  # Patch-mode ray bundles carry extra [p, p] dims; rotation must broadcast.
+  rng = np.random.RandomState(10)
+  n, p, angles = 4, 2, 3
+  mk = lambda c: jnp.asarray(rng.randn(n, p, p, c).astype(np.float32))
+  rays = rays_lib.Rays(
+      origins=mk(3), directions=mk(3), viewdirs=mk(3), radii=mk(1),
+      imageplane=mk(2), lossmult=mk(1), near=mk(1), far=mk(1),
+      cam_idx=jnp.zeros((n, p, p, 1), jnp.int32))
+  rendering = {'distance': jnp.asarray(
+      rng.uniform(1, 3, (n, p, p, 1)).astype(np.float32))}
+  noisy = sampling.sample_noisy_rays(
+      jax.random.PRNGKey(3), rays, rendering, 10.0, n, angles, 1.0)
+  assert noisy.origins.shape == (n * angles, p, p, 3)
+  # Surface points preserved.
+  d = jnp.repeat(rendering['distance'], angles, axis=0)
+  orig_pt = np.repeat(
+      np.asarray(rays.origins + rendering['distance'] * rays.directions),
+      angles, axis=0)
+  noisy_pt = np.asarray(noisy.origins + d * noisy.directions)
+  np.testing.assert_allclose(noisy_pt, orig_pt, atol=1e-5)
+  # Rotations preserve norms.
+  np.testing.assert_allclose(
+      np.linalg.norm(np.asarray(noisy.viewdirs), axis=-1),
+      np.repeat(np.linalg.norm(np.asarray(rays.viewdirs), axis=-1), angles,
+                axis=0), atol=1e-5)
+
+
 def test_sample_noisy_rays_rotates_directions():
   b, angles = 4, 1
   rays = _rays(b)
