@@ -126,8 +126,17 @@ class NeRFSystem:
                                  raycast_fn=self._raycast_fn()),
         donate_argnums=(0,))
 
+    # Data parallelism: shard the ray axis over the mesh, replicate state;
+    # GSPMD inserts the gradient all-reduce (reference: PL-DDP, train.py:88).
+    if self.mesh is not None:
+      n_dev = self.mesh.shape[mesh_lib.DATA_AXIS]
+      if config.batch_size % n_dev != 0:
+        raise ValueError(
+            f'batch_size {config.batch_size} must divide across '
+            f'{n_dev} devices')
+      self.state = mesh_lib.replicate(self.state, self.mesh)
     batches = prefetch_lib.training_batches(
-        self.train_dataset, mesh=None, threaded=True)
+        self.train_dataset, mesh=self.mesh, threaded=True)
 
     num_params = sum(
         int(np.prod(np.shape(p)))
