@@ -14,9 +14,6 @@ camera_utils.py:28):
 from __future__ import annotations
 
 import enum
-import types
-from typing import List, Mapping, Optional, Text, Tuple, Union
-
 import jax.numpy as jnp
 import numpy as np
 import scipy.interpolate

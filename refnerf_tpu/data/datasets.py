@@ -19,7 +19,7 @@ import abc
 import json
 import os
 from os import path
-from typing import Mapping, Optional, Sequence, Tuple, Union
+from typing import Optional
 
 import numpy as np
 from PIL import Image

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
-
 import jax
 
 from refnerf_tpu.parallel import mesh as mesh_lib

@@ -7,12 +7,9 @@ materialization (models.py:324-340): Flax modules are shape-polymorphic, so
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
-import jax
-import jax.numpy as jnp
-
 from refnerf_tpu import configs as configs_lib
 from refnerf_tpu.cameras import rays as rays_lib
 from refnerf_tpu.models.mlp import MLP

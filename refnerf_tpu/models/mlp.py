@@ -16,7 +16,7 @@ through it (second-order AD).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax

@@ -8,8 +8,7 @@ device mesh, tiling a frame over the slice.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,22 +17,19 @@ with an explicit loop around ONE jitted train step:
 
 from __future__ import annotations
 
-import functools
 import glob
 import os
 import sys
 import time
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from refnerf_tpu import configs as configs_lib
 from refnerf_tpu import metrics as metrics_lib
 from refnerf_tpu import vis as vis_lib
 from refnerf_tpu.cameras import camera_utils
-from refnerf_tpu.cameras import rays as rays_lib
 from refnerf_tpu.data import datasets as datasets_lib
 from refnerf_tpu.data import prefetch as prefetch_lib
 from refnerf_tpu.models import construct as construct_lib

@@ -11,9 +11,8 @@ eval.py:54-56).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -7,11 +7,8 @@ which XLA cannot compile) - numerically identical, TPU-compilable.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from refnerf_tpu.ops import image as image_ops
 from refnerf_tpu.ops import ref_utils

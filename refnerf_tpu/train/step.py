@@ -10,10 +10,8 @@ GSPMD inserts the gradient psum over ICI (no DDP machinery).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
-import flax
 import jax
 import jax.numpy as jnp
 import optax
