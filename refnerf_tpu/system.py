@@ -98,6 +98,14 @@ class NeRFSystem:
             distortion_params,
             None if pixtocam_ndc is None else jnp.asarray(pixtocam_ndc))
 
+  def _eval_mesh(self):
+    """Shard full-image render chunks across the mesh (frame tiling over
+    the slice) when the chunk divides evenly; single-device otherwise."""
+    if (self.mesh is not None and self.config.render_chunk_size
+        % self.mesh.shape[mesh_lib.DATA_AXIS] == 0):
+      return self.mesh
+    return None
+
   def train_frac(self, step):
     return float(np.clip((step - 1) / (self.config.max_steps - 1), 0, 1))
 
@@ -228,7 +236,8 @@ class NeRFSystem:
     for _ in range(n):
       batch = next(self.val_dataset)
       eval_start = time.time()
-      rendering = renderer_lib.render_image(render_fn, batch.rays, config)
+      rendering = renderer_lib.render_image(
+          render_fn, batch.rays, config, mesh=self._eval_mesh())
       eval_time = time.time() - eval_start
       num_rays = int(np.prod(np.asarray(batch.rays.directions).shape[:-1]))
 
@@ -292,7 +301,8 @@ class NeRFSystem:
     for idx in range(num_eval):
       batch = next(self.val_dataset)
       eval_start = time.time()
-      rendering = renderer_lib.render_image(render_fn, batch.rays, config)
+      rendering = renderer_lib.render_image(
+          render_fn, batch.rays, config, mesh=self._eval_mesh())
       render_times.append(time.time() - eval_start)
 
       rendering = {k: np.asarray(v, np.float64)
@@ -406,7 +416,8 @@ class NeRFSystem:
       print(f'Evaluating image {idx + 1}/{dataset.size}')
       eval_start = time.time()
       batch = dataset.generate_ray_batch(idx)
-      rendering = renderer_lib.render_image(render_fn, batch.rays, config)
+      rendering = renderer_lib.render_image(
+          render_fn, batch.rays, config, mesh=self._eval_mesh())
       print(f'Rendered in {time.time() - eval_start:0.3f}s')
 
       rendering = {k: np.asarray(v, np.float64)
