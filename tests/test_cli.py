@@ -72,8 +72,10 @@ def _run(script, gin_file, extra_bindings=()):
          f'--gin_configs={gin_file}']
   for b in extra_bindings:
     cmd.append(f'--gin_bindings={b}')
+  # Generous timeout: CLI subprocesses compile fresh XLA programs and this
+  # host has one CPU core that tests may share with device-side benchmarks.
   return subprocess.run(cmd, capture_output=True, text=True, env=env,
-                        timeout=420, cwd=_REPO)
+                        timeout=900, cwd=_REPO)
 
 
 @pytest.fixture(scope='module')
