@@ -93,6 +93,15 @@ def workdir(tmp_path_factory):
   return root, gin_file
 
 
+def _ensure_trained(workdir):
+  """Idempotently train so eval/render tests are order-independent."""
+  root, gin_file = workdir
+  ckpt_dir = root / 'exp' / 'ckpt' / 'cli' / 'cli_test' / 'last'
+  if not (ckpt_dir.exists() and any(ckpt_dir.iterdir())):
+    result = _run('train.py', gin_file)
+    assert result.returncode == 0, result.stderr[-2000:]
+
+
 def test_train_cli(workdir):
   root, gin_file = workdir
   result = _run('train.py', gin_file)
@@ -108,6 +117,7 @@ def test_train_cli(workdir):
 
 def test_eval_cli_after_train(workdir):
   root, gin_file = workdir
+  _ensure_trained(workdir)
   result = _run('eval.py', gin_file)
   assert result.returncode == 0, result.stderr[-2000:]
   out_dir = root / 'exp' / 'ckpt' / 'cli' / 'cli_test' / 'test_preds'
@@ -116,6 +126,7 @@ def test_eval_cli_after_train(workdir):
 
 def test_render_cli_after_train(workdir):
   root, gin_file = workdir
+  _ensure_trained(workdir)
   result = _run('render.py', gin_file)
   assert result.returncode == 0, result.stderr[-2000:]
   out_dirs = list(
