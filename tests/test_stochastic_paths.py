@@ -45,7 +45,8 @@ def test_single_jitter_shares_offset_per_ray():
   s = np.asarray(stepfun.sample(key, jnp.asarray(t), logits, 8,
                                 single_jitter=True))
   spacing = np.diff(s, axis=-1)
-  np.testing.assert_allclose(spacing, spacing[:, :1], atol=1e-5)
+  np.testing.assert_allclose(
+      spacing, np.broadcast_to(spacing[:, :1], spacing.shape), atol=1e-5)
   # Independent jitter produces non-constant spacing.
   s2 = np.asarray(stepfun.sample(key, jnp.asarray(t), logits, 8,
                                  single_jitter=False))
