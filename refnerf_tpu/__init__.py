@@ -24,3 +24,23 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API: refnerf_tpu.NeRFSystem, .load_dataset, .Config, ...
+_API = {
+    'Config': ('refnerf_tpu.configs', 'Config'),
+    'load_config': ('refnerf_tpu.configs', 'load_config'),
+    'NeRFSystem': ('refnerf_tpu.system', 'NeRFSystem'),
+    'load_dataset': ('refnerf_tpu.data.datasets', 'load_dataset'),
+    'construct_model': ('refnerf_tpu.models.construct', 'construct_model'),
+    'setup_model': ('refnerf_tpu.models.construct', 'setup_model'),
+    'render_image': ('refnerf_tpu.models.renderer', 'render_image'),
+    'MetricHarness': ('refnerf_tpu.metrics', 'MetricHarness'),
+}
+
+
+def __getattr__(name):
+  if name in _API:
+    import importlib
+    module, attr = _API[name]
+    return getattr(importlib.import_module(module), attr)
+  raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

@@ -62,3 +62,32 @@ def init_params(rng, model: Model, num_rays: int = 2):
       {'params': rng}, dummy, train_frac=1.0, compute_extras=False,
       train=False)
   return variables['params']
+
+
+def setup_model(config, gin=None, seed=None, raycast_fn=None):
+  """One-call setup: model + TrainState + jitted train step + render fn.
+
+  The convenience mirror of the reference's train_utils.setup_model
+  (train_utils.py:480-493), returning functional-JAX equivalents.
+  """
+  import jax
+  from refnerf_tpu.models import renderer as renderer_lib
+  from refnerf_tpu.train import step as step_lib
+
+  model = construct_model(config, gin)
+  params = init_params(
+      jax.random.PRNGKey(config.seed if seed is None else seed), model)
+  state = step_lib.create_train_state(config, model, params)
+  train_step = jax.jit(
+      step_lib.make_train_step(model, config, raycast_fn=raycast_fn),
+      donate_argnums=(0,))
+
+  # Takes params explicitly (train_step donates the state's buffers, so a
+  # closure over the initial params would hold deleted arrays).
+  @jax.jit
+  def render_fn(params, rays, train_frac=1.0):
+    return model.apply({'params': params}, rays, train_frac=train_frac,
+                       compute_extras=True, train=False)
+
+  del renderer_lib  # renderer.render_image composes with functools.partial
+  return model, state, train_step, render_fn
