@@ -56,12 +56,16 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
           lambda x: jax.device_put(x, sharding), chunk_rays)
     chunk_renderings, _ = render_fn(chunk_rays)
 
-    # Keep the final level's 2D buffers, plus per-level ray bundles.
+    # Keep the final level's 2D buffers, plus per-level ray bundles. The
+    # device_get happens ONCE after the loop: per-chunk fetches would
+    # synchronize and serialize chunk execution.
     chunk_rendering = dict(chunk_renderings[-1])
     for k in chunk_renderings[0]:
       if k.startswith('ray_'):
         chunk_rendering[k] = [r[k] for r in chunk_renderings]
-    chunks.append(jax.device_get(chunk_rendering))
+    chunks.append(chunk_rendering)
+
+  chunks = jax.device_get(chunks)
 
   # Merge chunks (concatenate along the ray axis).
   rendering = {}
