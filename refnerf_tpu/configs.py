@@ -71,6 +71,10 @@ class Config:
   early_exit_steps: Optional[int] = None
   checkpoint_every: int = 25000
   print_every: int = 100
+  # Cadence of per-param weight/grad norm stats inside the train step.
+  # 1 = every step (reference parity; ~10% step-time overhead from ~170
+  # tiny reduce kernels). N computes them every N steps via lax.cond.
+  stats_every: int = 1
   train_render_every: int = 5000
   cast_rays_in_train_step: bool = True   # device-side ray casting (default on)
   data_loss_type: str = 'charb'
