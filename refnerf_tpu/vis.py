@@ -1,8 +1,14 @@
-"""Visualization helpers (ref: internal/vis.py).
+"""Visualization panels and video export.
 
 Host-side numpy: these run on rendered (device_get) buffers for TensorBoard
-panels and video export. Video writing uses the ffmpeg binary when present
-and falls back to animated GIF via PIL (this image ships no ffmpeg/mediapy).
+panels and video export. The panel set and per-panel output contract follow
+internal/vis.py:184-292 of the reference; the implementation here is its own
+— ray-bundle rendering is batched over all rays per level (one resample call
+per level instead of a Python loop per ray), and image assembly uses
+repeat/pad row construction.
+
+Video writing uses the ffmpeg binary when present and falls back to animated
+GIF via PIL (this image ships no ffmpeg/mediapy).
 """
 
 from __future__ import annotations
@@ -13,7 +19,7 @@ import subprocess
 from typing import List
 
 import numpy as np
-from matplotlib import cm
+from matplotlib import colormaps as mpl_colormaps
 
 from refnerf_tpu.ops import image as image_ops
 from refnerf_tpu.ops import stepfun
@@ -26,10 +32,11 @@ def weighted_percentile(x, weight, ps, assume_sorted=False):
   x = np.asarray(x).reshape([-1])
   weight = np.asarray(weight).reshape([-1])
   if not assume_sorted:
-    sortidx = np.argsort(x)
-    x, weight = x[sortidx], weight[np.remainder(sortidx, len(weight))]
-  acc_w = np.cumsum(weight)
-  return np.interp(np.asarray(ps) * (acc_w[-1] / 100), acc_w, x)
+    order = np.argsort(x)
+    x = x[order]
+    weight = weight[np.remainder(order, len(weight))]
+  cumw = np.cumsum(weight)
+  return np.interp(np.asarray(ps) / 100 * cumw[-1], cumw, x)
 
 
 def sinebow(h):
@@ -38,15 +45,26 @@ def sinebow(h):
   return np.stack([f(3 / 6 - h), f(5 / 6 - h), f(7 / 6 - h)], -1)
 
 
+def _checkerboard(shape, width, dark, light):
+  """A [H, W] Photoshop-style transparency checkerboard."""
+  yy = np.arange(shape[0])[:, None] // width
+  xx = np.arange(shape[1])[None, :] // width
+  return np.where((yy + xx) % 2 == 0, dark, light)
+
+
 def matte(vis, acc, dark=0.8, light=1.0, width=8):
-  """Composite over a Photoshop-style checkerboard where acc < 1."""
+  """Alpha-composite an image over a checkerboard using `acc` as alpha."""
   vis = np.asarray(vis)
-  acc = np.asarray(acc)
-  bg_mask = np.logical_xor(
-      (np.arange(acc.shape[0]) % (2 * width) // width)[:, None],
-      (np.arange(acc.shape[1]) % (2 * width) // width)[None, :])
-  bg = np.where(bg_mask, light, dark)
-  return vis * acc[:, :, None] + (bg * (1 - acc))[:, :, None]
+  acc = np.asarray(acc)[..., None]
+  bg = _checkerboard(acc.shape[:2], width, dark, light)[..., None]
+  return vis * acc + bg * (1 - acc)
+
+
+def _auto_bounds(value, weight, percentile):
+  """Symmetric weighted-percentile range around the median."""
+  tail = (100 - percentile) / 2
+  lo, hi = weighted_percentile(value, weight, [tail, 100 - tail])
+  return lo - _EPS, hi + _EPS
 
 
 def visualize_cmap(value, weight, colormap, lo=None, hi=None, percentile=99.0,
@@ -54,26 +72,26 @@ def visualize_cmap(value, weight, colormap, lo=None, hi=None, percentile=99.0,
   """Colormap a scalar image with weighted-percentile range selection."""
   value = np.asarray(value)
   weight = np.asarray(weight)
-  lo_auto, hi_auto = weighted_percentile(
-      value, weight, [50 - percentile / 2, 50 + percentile / 2])
+  if lo is None or hi is None:
+    lo_auto, hi_auto = _auto_bounds(value, weight, percentile)
+    lo = lo_auto if lo is None else lo
+    hi = hi_auto if hi is None else hi
 
-  lo = lo if lo is not None else (lo_auto - _EPS)
-  hi = hi if hi is not None else (hi_auto + _EPS)
-
-  value, lo, hi = [curve_fn(x) for x in [value, lo, hi]]
+  value, lo, hi = curve_fn(value), curve_fn(lo), curve_fn(hi)
 
   if modulus:
-    value = np.mod(value, modulus) / modulus
+    unit = np.mod(value, modulus) / modulus
   else:
-    value = np.nan_to_num(
-        np.clip((value - np.minimum(lo, hi)) / np.abs(hi - lo), 0, 1))
+    # Affine squash of [lo, hi] onto [0, 1], robust to lo/hi order and NaNs.
+    unit = (value - min(lo, hi)) / abs(hi - lo)
+    unit = np.nan_to_num(np.clip(unit, 0, 1))
 
   if colormap:
-    colorized = colormap(value)[..., :3].astype(np.float32)
+    colorized = colormap(unit)[..., :3].astype(np.float32)
   else:
-    if value.ndim != 3 or value.shape[-1] != 3:
-      raise ValueError(f'value must be HxWx3, got {value.shape}')
-    colorized = value
+    if unit.ndim != 3 or unit.shape[-1] != 3:
+      raise ValueError(f'value must be HxWx3, got {unit.shape}')
+    colorized = unit
 
   return matte(colorized, weight) if matte_background else colorized
 
@@ -83,147 +101,146 @@ def visualize_coord_mod(coords, acc):
   return matte(((np.asarray(coords) + 1) % 2) / 2, acc)
 
 
+def _resample_bundle(tvals, tdist, values):
+  """Resample step functions (tdist, values) onto the grid `tvals`.
+
+  tdist: [R, S+1] endpoints; values: [R, S, C]; returns [R, len(tvals)-1, C].
+  One batched call over all rays and channels.
+  """
+  import jax.numpy as jnp
+  d = jnp.asarray(tdist)[:, None, :]  # [R, 1, S+1]
+  v = jnp.moveaxis(jnp.asarray(values), -1, -2)  # [R, C, S]
+  t = jnp.broadcast_to(jnp.asarray(tvals), (d.shape[0], 1, len(tvals)))
+  out = stepfun.resample(t, d, v, use_avg=True)  # [R, C, T-1]
+  return np.moveaxis(np.asarray(out), -2, -1)
+
+
 def visualize_rays(dist, dist_range, weights, rgbs, accumulate=False,
                    renormalize=False, resolution=2048, bg_color=0.8):
-  """Flattened step-function renders of a bundle of rays, stacked by level."""
-  import jax.numpy as jnp
-  dist_vis = np.linspace(*dist_range, resolution + 1)
-  vis_rgb, vis_alpha = [], []
-  for ds, ws, rs in zip(dist, weights, rgbs):
-    vis_rs, vis_ws = [], []
-    for d, w, r in zip(np.asarray(ds), np.asarray(ws), np.asarray(rs)):
-      if accumulate:
-        # Accumulated color/weight at each point along the ray.
-        w_csum = np.cumsum(w, axis=0)
-        rw_csum = np.cumsum(r * w[:, None], axis=0)
-        r, w = (rw_csum + _EPS) / (w_csum[:, None] + 2 * _EPS), w_csum
-      vis_rs.append(np.asarray(stepfun.resample(
-          jnp.asarray(dist_vis), jnp.asarray(d), jnp.asarray(r.T),
-          use_avg=True)).T)
-      vis_ws.append(np.asarray(stepfun.resample(
-          jnp.asarray(dist_vis), jnp.asarray(d), jnp.asarray(w.T),
-          use_avg=True)).T)
-    vis_rgb.append(np.stack(vis_rs))
-    vis_alpha.append(np.stack(vis_ws))
-  vis_rgb = np.stack(vis_rgb, axis=1)
-  vis_alpha = np.stack(vis_alpha, axis=1)
+  """Render a bundle of rays' step functions as an image.
+
+  Each ray becomes a group of horizontal strips (one per level, each
+  repeated `rep` times) showing its color/weight step function resampled
+  onto a common distance grid, with a black separator row between rays.
+  Returns (rgb_image[:-1], alpha_image[:-1]).
+  """
+  tvals = np.linspace(*dist_range, resolution + 1)
+
+  level_rgb, level_alpha = [], []
+  for d, w, r in zip(dist, weights, rgbs):
+    d, w, r = np.asarray(d), np.asarray(w), np.asarray(r)
+    if accumulate:
+      # Show the running composite along the ray instead of raw samples.
+      w_total = np.cumsum(w, axis=-1)
+      r_total = np.cumsum(r * w[..., None], axis=-2)
+      r = (r_total + _EPS) / (w_total[..., None] + 2 * _EPS)
+      w = w_total
+    level_rgb.append(_resample_bundle(tvals, d, r))  # [R, res, 3]
+    level_alpha.append(_resample_bundle(tvals, d, w[..., None])[..., 0])
+  rgb = np.stack(level_rgb, axis=1)  # [R, L, res, 3]
+  alpha = np.stack(level_alpha, axis=1)  # [R, L, res]
 
   if renormalize:
-    vis_alpha = vis_alpha / np.maximum(_EPS, np.max(vis_alpha))
+    alpha = alpha / np.maximum(_EPS, alpha.max())
 
-  if resolution > vis_rgb.shape[0]:
-    rep = resolution // (vis_rgb.shape[0] * vis_rgb.shape[1] + 1)
-    stride = rep * vis_rgb.shape[1]
+  n_rays, n_levels = rgb.shape[:2]
+  if resolution > n_rays:
+    # Row budget: rep copies of each (ray, level) strip + 1 separator/ray.
+    rep = resolution // (n_rays * n_levels + 1)
+    res, nc = rgb.shape[-2], rgb.shape[-1]
+    rgb = np.repeat(rgb.reshape(n_rays * n_levels, res, nc), rep, axis=0)
+    alpha = np.repeat(alpha.reshape(n_rays * n_levels, res), rep, axis=0)
+    # One black separator row after each ray's group of level strips.
+    rgb = rgb.reshape(n_rays, n_levels * rep, res, nc)
+    alpha = alpha.reshape(n_rays, n_levels * rep, res)
+    rgb = np.concatenate([rgb, np.zeros_like(rgb[:, :1])], axis=1)
+    alpha = np.concatenate([alpha, np.zeros_like(alpha[:, :1])], axis=1)
+    rgb = rgb.reshape(-1, res, nc)
+    alpha = alpha.reshape(-1, res)
 
-    vis_rgb = np.tile(vis_rgb, (1, 1, rep, 1)).reshape(
-        (-1,) + vis_rgb.shape[2:])
-    vis_alpha = np.tile(vis_alpha, (1, 1, rep)).reshape(
-        (-1,) + vis_alpha.shape[2:])
-
-    # Background strip after each level group.
-    vis_rgb = vis_rgb.reshape((-1, stride) + vis_rgb.shape[1:])
-    vis_alpha = vis_alpha.reshape((-1, stride) + vis_alpha.shape[1:])
-    vis_rgb = np.concatenate([vis_rgb, np.zeros_like(vis_rgb[:, :1])],
-                             axis=1).reshape((-1,) + vis_rgb.shape[2:])
-    vis_alpha = np.concatenate([vis_alpha, np.zeros_like(vis_alpha[:, :1])],
-                               axis=1).reshape((-1,) + vis_alpha.shape[2:])
-
-  vis = vis_rgb * vis_alpha[..., None] + (bg_color * (1 - vis_alpha))[..., None]
-
-  return vis[:-1], vis_alpha[:-1]
+  vis = rgb * alpha[..., None] + bg_color * (1 - alpha)[..., None]
+  return vis[:-1], alpha[:-1]
 
 
-def visualize_suite(rendering, rays, linear_to_srgb=False):
-  """The standard panel set: color/acc/depths/coords/ray renders/material
-  buffers (ref: vis.py:184-292)."""
-  depth_curve_fn = lambda x: -np.log(x + _EPS)
+def _tone(img, linear_to_srgb):
+  img = np.asarray(img)
+  return np.asarray(image_ops.linear_to_srgb(img)) if linear_to_srgb else img
 
-  rgb = np.asarray(rendering['rgb'])
-  if linear_to_srgb:
-    rgb = np.asarray(image_ops.linear_to_srgb(rgb))
-  acc = np.asarray(rendering['acc'])
 
-  distance_mean = np.asarray(rendering['distance_mean'])
-  distance_median = np.asarray(rendering['distance_median'])
-  distance_p5 = np.asarray(rendering['distance_percentile_5'])
-  distance_p95 = np.asarray(rendering['distance_percentile_95'])
-  acc = np.where(np.isnan(distance_mean), np.zeros_like(acc), acc)
+def _depth_panels(rendering, acc):
+  """Turbo-mapped mean/median depth plus the percentile-triplet panel."""
+  neglog = lambda x: -np.log(x + _EPS)
+  turbo = mpl_colormaps['turbo']
+  mean_d = np.asarray(rendering['distance_mean'])
+  median_d = np.asarray(rendering['distance_median'])
+  p5 = np.asarray(rendering['distance_percentile_5'])
+  p95 = np.asarray(rendering['distance_percentile_95'])
+  # Percentile triplet as RGB: channel spacing encodes the density profile.
+  triplet = np.stack([2 * median_d - p5, median_d, p95], -1)
+  return {
+      'depth_mean': visualize_cmap(mean_d, acc, turbo, curve_fn=neglog),
+      'depth_median': visualize_cmap(median_d, acc, turbo, curve_fn=neglog),
+      'depth_triplet': visualize_cmap(
+          triplet, acc, None, curve_fn=lambda x: np.log(x + _EPS)),
+  }
 
-  coords = (np.asarray(rays.origins) +
-            np.asarray(rays.directions) * distance_mean[:, :, None])
 
-  vis_depth_mean, vis_depth_median = [
-      visualize_cmap(x, acc, cm.get_cmap('turbo'), curve_fn=depth_curve_fn)
-      for x in [distance_mean, distance_median]
-  ]
-
-  # Percentile triplet as RGB: spacing encodes the density profile.
-  depth_triplet = np.stack(
-      [2 * distance_median - distance_p5, distance_median, distance_p95], -1)
-  vis_depth_triplet = visualize_cmap(
-      depth_triplet, acc, None, curve_fn=lambda x: np.log(x + _EPS))
-
-  dist = rendering['ray_sdist']
-  dist_range = (0, 1)
+def _ray_panels(rendering):
+  """Flattened per-level step-function renders of the vis ray bundle."""
+  sdist = rendering['ray_sdist']
   weights = rendering['ray_weights']
   rgbs = [np.clip(np.asarray(r), 0, 1) for r in rendering['ray_rgbs']]
 
-  vis_ray_colors, _ = visualize_rays(dist, dist_range, weights, rgbs)
+  ray_colors, _ = visualize_rays(sdist, (0, 1), weights, rgbs)
 
-  sqrt_weights = [np.sqrt(np.asarray(w)) for w in weights]
-  sqrt_ray_weights, ray_alpha = visualize_rays(
-      dist, dist_range,
-      [np.ones_like(lw) for lw in sqrt_weights],
-      [lw[..., None] for lw in sqrt_weights],
+  # Weights panel: sqrt-scaled weights rendered as gray, red where empty.
+  sqrt_w = [np.sqrt(np.asarray(w)) for w in weights]
+  gray, alpha = visualize_rays(
+      sdist, (0, 1),
+      [np.ones_like(w) for w in sqrt_w],
+      [w[..., None] for w in sqrt_w],
       bg_color=0)
-  sqrt_ray_weights = sqrt_ray_weights[..., 0]
-
-  null_color = np.array([1.0, 0.0, 0.0])
-  vis_ray_weights_cmap = visualize_cmap(
-      sqrt_ray_weights, np.ones_like(sqrt_ray_weights), cm.get_cmap('gray'),
+  gray_cmap = visualize_cmap(
+      gray[..., 0], np.ones_like(gray[..., 0]), mpl_colormaps['gray'],
       lo=0, hi=1, matte_background=False)
-  vis_ray_weights = np.where(
-      ray_alpha[:, :, None] == 0, null_color[None, None],
-      vis_ray_weights_cmap)
+  empty = np.array([1.0, 0.0, 0.0])
+  ray_weights = np.where(alpha[..., None] == 0, empty, gray_cmap)
+  return {'ray_colors': ray_colors, 'ray_weights': ray_weights}
 
-  vis = {
-      'color': rgb,
-      'acc': acc,
-      'color_matte': matte(rgb, acc),
-      'depth_mean': vis_depth_mean,
-      'depth_median': vis_depth_median,
-      'depth_triplet': vis_depth_triplet,
-      'coords_mod': visualize_coord_mod(coords, acc),
-      'ray_colors': vis_ray_colors,
-      'ray_weights': vis_ray_weights,
-  }
+
+def visualize_suite(rendering, rays, linear_to_srgb=False):
+  """The standard panel set (contract: internal/vis.py:184-292)."""
+  rgb = _tone(rendering['rgb'], linear_to_srgb)
+  acc = np.asarray(rendering['acc'])
+  distance_mean = np.asarray(rendering['distance_mean'])
+  acc = np.where(np.isnan(distance_mean), np.zeros_like(acc), acc)
+
+  panels = {'color': rgb, 'acc': acc, 'color_matte': matte(rgb, acc)}
+  panels.update(_depth_panels(rendering, acc))
+
+  surface_pts = (np.asarray(rays.origins) +
+                 np.asarray(rays.directions) * distance_mean[:, :, None])
+  panels['coords_mod'] = visualize_coord_mod(surface_pts, acc)
+
+  panels.update(_ray_panels(rendering))
 
   if 'rgb_cc' in rendering:
-    vis['color_corrected'] = np.asarray(rendering['rgb_cc'])
+    panels['color_corrected'] = np.asarray(rendering['rgb_cc'])
 
   for key, val in rendering.items():
     if key.startswith('normals') and not key.startswith('ray_'):
-      vis[key] = matte(np.asarray(val) / 2.0 + 0.5, acc)
+      panels[key] = matte(np.asarray(val) / 2 + 0.5, acc)
 
   if 'roughness' in rendering:
-    vis['roughness'] = matte(np.tanh(np.asarray(rendering['roughness'])), acc)
-  if 'diffuse' in rendering:
-    diffuse_rgb = np.asarray(rendering['diffuse'])
-    if linear_to_srgb:
-      diffuse_rgb = np.asarray(image_ops.linear_to_srgb(diffuse_rgb))
-    vis['diffuse'] = diffuse_rgb
-    vis['diffuse_matte'] = matte(diffuse_rgb, acc)
-  if 'specular' in rendering:
-    specular_rgb = np.asarray(rendering['specular'])
-    if linear_to_srgb:
-      specular_rgb = np.asarray(image_ops.linear_to_srgb(specular_rgb))
-    vis['specular'] = specular_rgb
-    vis['specular_matte'] = matte(specular_rgb, acc)
-  if 'tint' in rendering:
-    vis['tint'] = np.asarray(rendering['tint'])
-    vis['tint_matte'] = matte(np.asarray(rendering['tint']), acc)
+    panels['roughness'] = matte(np.tanh(np.asarray(rendering['roughness'])),
+                                acc)
+  for key in ('diffuse', 'specular', 'tint'):
+    if key in rendering:
+      buf = _tone(rendering[key], linear_to_srgb and key != 'tint')
+      panels[key] = buf
+      panels[f'{key}_matte'] = matte(buf, acc)
 
-  return vis
+  return panels
 
 
 def _write_video(path: str, frames: List[np.ndarray], fps: int, crf: int):
@@ -293,7 +310,7 @@ def create_videos(config, base_dir, out_dir, out_name, num_frames):
       elif k.startswith('distance'):
         img = config.render_dist_curve_fn(img)
         img = np.clip((img - np.minimum(lo, hi)) / np.abs(hi - lo), 0, 1)
-        img = cm.get_cmap('turbo')(img)[..., :3]
+        img = mpl_colormaps['turbo'](img)[..., :3]
       elif k == 'acc':
         img = np.stack([img] * 3, axis=-1)
       frames.append(
