@@ -1,0 +1,414 @@
+"""Full-pipeline numerical parity against the mounted torch reference.
+
+The op-level oracles in test_reference_parity.py cover stepfun/coord/
+ref_utils/math; this file closes the gap to the model level: the torch
+reference Model (internal/models.py:129 `Model.__call__`, :533
+`MLP.__call__`) and this framework's Flax Model are constructed with
+identical flags and identical weights, fed identical rays, and must
+produce matching per-level MLP outputs, renderings, loss values
+(internal/train_utils.py:33-325), and a matching first optimizer step.
+
+Known deliberate divergence (documented in docs/DESIGN.md): the torch
+reference computes density-gradient normals via `torch.autograd.grad`
+WITHOUT `create_graph=True` (models.py:609), so its normals are
+stop-gradient w.r.t. parameters inside losses; this framework (like the
+original JAX multinerf) differentiates through them. The optimizer-step
+parity test therefore runs with predicted_normal_loss_mult=0 (the only
+shipped loss that back-propagates through density normals).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import refbridge
+
+jax = pytest.importorskip('jax')
+torch = pytest.importorskip('torch')
+import jax.numpy as jnp  # noqa: E402
+
+from refnerf_tpu.cameras import rays as rays_lib  # noqa: E402
+from refnerf_tpu import configs as configs_lib  # noqa: E402
+from refnerf_tpu.models.mlp import MLP  # noqa: E402
+from refnerf_tpu.models.model import Model  # noqa: E402
+from refnerf_tpu.ops import geopoly  # noqa: E402
+from refnerf_tpu.train import losses as losses_lib  # noqa: E402
+from refnerf_tpu.train import step as step_lib  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(refbridge.REF_ROOT), reason='reference not mounted')
+
+REF = refbridge.load_reference()
+
+N_RAYS = 48
+
+# Ref-NeRF MLP flags (reference configs/blender_refnerf.gin), tiny sizes.
+# net_depth=6 exercises the skip connection at layer 4 (the reference's
+# fixed-width heads require the skip concat to be followed by another layer).
+MLP_KW = dict(
+    net_depth=6,
+    net_width=24,
+    bottleneck_width=16,
+    net_depth_viewdirs=2,
+    net_width_viewdirs=24,
+    min_deg_point=0,
+    max_deg_point=6,
+    skip_layer=4,
+    deg_view=2,
+    use_reflections=True,
+    use_directional_enc=True,
+    enable_pred_roughness=True,
+    use_diffuse_color=True,
+    use_specular_tint=True,
+    use_n_dot_v=True,
+    enable_pred_normals=True,
+    disable_density_normals=False,
+    density_bias=0.5,
+    basis_shape='octahedron',
+    basis_subdivisions=1,
+)
+
+SCENARIOS = {
+    # blender_refnerf.gin Model knobs.
+    'refnerf': dict(
+        num_prop_samples=12, num_nerf_samples=8, num_levels=2,
+        anneal_slope=0.0, dilation_bias=0.0, dilation_multiplier=0.0,
+        single_jitter=False, resample_padding=0.01,
+        srgb_mapping_when_rendering=False, srgb_mapping_type='linear'),
+    # Dilation + Schlick anneal + rendering-side sRGB mapping
+    # (the geometry-loss configs' norm_linear pipeline), 3 levels.
+    'dilated': dict(
+        num_prop_samples=10, num_nerf_samples=6, num_levels=3,
+        anneal_slope=10.0, dilation_bias=0.0025, dilation_multiplier=0.5,
+        single_jitter=True, resample_padding=0.0,
+        srgb_mapping_when_rendering=True, srgb_mapping_type='norm_linear'),
+}
+
+
+def make_ray_arrays(n, seed=0):
+  rng = np.random.RandomState(seed)
+  d = rng.randn(n, 3).astype(np.float32)
+  viewdirs = d / np.linalg.norm(d, axis=-1, keepdims=True)
+  directions = viewdirs * rng.uniform(0.9, 1.1, (n, 1)).astype(np.float32)
+  return dict(
+      origins=(rng.randn(n, 3) * 0.3).astype(np.float32),
+      directions=directions.astype(np.float32),
+      viewdirs=viewdirs.astype(np.float32),
+      radii=rng.uniform(0.005, 0.02, (n, 1)).astype(np.float32),
+      imageplane=np.zeros((n, 2), np.float32),
+      lossmult=np.ones((n, 1), np.float32),
+      near=np.full((n, 1), 2.0, np.float32),
+      far=np.full((n, 1), 6.0, np.float32),
+      cam_idx=np.zeros((n, 1), np.int32),
+  )
+
+
+def torch_rays(arrays):
+  return REF.utils.Rays(**{
+      k: torch.tensor(v, dtype=torch.int32 if k == 'cam_idx'
+                      else torch.float32)
+      for k, v in arrays.items()})
+
+
+def jax_rays(arrays):
+  return rays_lib.Rays(**{k: jnp.asarray(v) for k, v in arrays.items()})
+
+
+def _ref_model_config():
+  """The call-time Config fields the reference Model reads."""
+  cfg = REF.configs.Config()
+  cfg.render_with_specular_density = False
+  cfg.vis_num_rays = 4
+  return cfg
+
+
+def build_pair(scenario_name):
+  """Construct (torch_model, flax_model, flax_params) with shared weights."""
+  sc = dict(SCENARIOS[scenario_name])
+  srgb_when_rendering = sc.pop('srgb_mapping_when_rendering')
+  srgb_type = sc.pop('srgb_mapping_type')
+
+  # --- flax side ---
+  fm = Model(
+      nerf_mlp=MLP(name='NerfMLP', **MLP_KW),
+      prop_mlp=None,  # single_mlp=True, as in every shipped reference config
+      bg_intensity_range=(1.0, 1.0),
+      render_with_specular_density=False,
+      srgb_mapping_when_rendering=srgb_when_rendering,
+      srgb_mapping_type=srgb_type,
+      vis_num_rays=4,
+      **sc)
+  arrays = make_ray_arrays(N_RAYS)
+  params = fm.init({'params': jax.random.PRNGKey(7)}, jax_rays(arrays),
+                   train_frac=1.0, compute_extras=False,
+                   train=False)['params']
+
+  # --- torch side ---
+  ref_cfg = _ref_model_config()
+  ref_cfg.srgb_mapping_when_rendering = srgb_when_rendering
+  ref_cfg.srgb_mapping_type = srgb_type
+  saved = (REF.models.NerfMLP, REF.models.PropMLP)
+  try:
+    REF.models.NerfMLP = lambda: REF.models.MLP(**MLP_KW)
+    REF.models.PropMLP = REF.models.NerfMLP
+    tm = REF.models.Model(config=ref_cfg, single_mlp=True,
+                          bg_intensity_range=(1.0, 1.0), **sc)
+  finally:
+    REF.models.NerfMLP, REF.models.PropMLP = saved
+  # Materialize the LazyLinear layers with one dummy forward.
+  tm.eval()
+  with torch.no_grad():
+    tm(torch_rays(arrays), train_frac=1.0, compute_extras=False)
+
+  copy_params_into_torch(params, tm.nerf_mlp)
+  return tm, fm, params
+
+
+def copy_params_into_torch(params, tmlp):
+  """Write the flax MLP parameters into the torch reference MLP."""
+  sub = params['nerf_mlp']
+
+  def set_linear(layer, p):
+    layer.weight.data = torch.tensor(np.array(p['kernel']).T.copy())
+    layer.bias.data = torch.tensor(np.array(p['bias']).copy())
+
+  for i, layer in enumerate(tmlp.spatial_net):
+    set_linear(layer, sub[f'spatial_{i}'])
+  for i, layer in enumerate(tmlp.viewdir_mlp):
+    set_linear(layer, sub[f'viewdir_{i}'])
+  name_map = [
+      ('raw_density', 'raw_density'),
+      ('grad_pred', 'grad_pred'),
+      ('raw_roughness', 'raw_roughness'),
+      ('raw_rgb_diffuse', 'raw_rgb_diffuse'),
+      ('raw_tint', 'raw_tint'),
+      ('bottleneck', 'bottleneck'),
+      ('rgb', 'rgb'),
+  ]
+  for torch_name, flax_name in name_map:
+    if hasattr(tmlp, torch_name) and flax_name in sub:
+      set_linear(getattr(tmlp, torch_name), sub[flax_name])
+  # The geodesic basis is an architectural constant; both sides must project
+  # onto the same one (the two implementations may order vertices
+  # differently).
+  basis = geopoly.generate_basis(tmlp.basis_shape, tmlp.basis_subdivisions)
+  tmlp.pos_basis_t = torch.tensor(np.array(basis).T.copy())
+
+
+def run_torch(tm, arrays, train, train_frac=0.5):
+  tm.train(train)
+  rays = torch_rays(arrays)
+  if train:
+    renderings, history = tm(rays, train_frac=train_frac, compute_extras=True)
+  else:
+    with torch.no_grad():
+      renderings, history = tm(rays, train_frac=train_frac,
+                               compute_extras=True)
+  return renderings, history
+
+
+def run_jax(fm, params, arrays, train, train_frac=0.5):
+  return fm.apply({'params': params}, jax_rays(arrays),
+                  train_frac=train_frac, compute_extras=True, train=train)
+
+
+def assert_tree_close(jx, tx, atol, name):
+  if tx is None or jx is None:
+    assert tx is None and jx is None, f'{name}: one side is None'
+    return
+  a = np.asarray(jx)
+  b = tx.detach().cpu().numpy() if torch.is_tensor(tx) else np.asarray(tx)
+  np.testing.assert_allclose(a, b, atol=atol, rtol=1e-4, err_msg=name)
+
+
+HISTORY_KEYS = ('density', 'rgb', 'normals', 'normals_pred', 'grad_pred',
+                'tint', 'diffuse', 'specular', 'roughness', 'weights',
+                'sdist')
+
+
+def check_forward_parity(scenario, train):
+  tm, fm, params = build_pair(scenario)
+  arrays = make_ray_arrays(N_RAYS, seed=3)
+  t_rend, t_hist = run_torch(tm, arrays, train=train)
+  j_rend, j_hist = run_jax(fm, params, arrays, train=train)
+
+  assert len(t_hist) == len(j_hist) == fm.num_levels
+  for lvl, (th, jh) in enumerate(zip(t_hist, j_hist)):
+    for key in HISTORY_KEYS:
+      t_val = th.get(key)
+      j_val = jh.get(key)
+      if isinstance(t_val, (int, float)) or isinstance(j_val, (int, float)):
+        continue  # roughness=0 placeholder when disabled
+      assert_tree_close(j_val, t_val, atol=2e-4, name=f'L{lvl}/{key}')
+
+  for lvl, (tr, jr) in enumerate(zip(t_rend, j_rend)):
+    shared = set(tr.keys()) & set(jr.keys())
+    assert {'rgb', 'acc', 'diffuse', 'specular'} <= shared
+    for key in sorted(shared):
+      if torch.is_tensor(tr[key]) and jr[key] is not None:
+        assert_tree_close(jr[key], tr[key], atol=2e-4,
+                          name=f'rendering L{lvl}/{key}')
+
+
+@pytest.mark.parametrize('scenario', sorted(SCENARIOS))
+def test_forward_parity_eval(scenario):
+  check_forward_parity(scenario, train=False)
+
+
+@pytest.mark.parametrize('scenario', sorted(SCENARIOS))
+def test_forward_parity_train(scenario):
+  """Train mode adds density-gradient normals (nested AD on both sides)."""
+  check_forward_parity(scenario, train=True)
+
+
+def _loss_config_fields():
+  return dict(
+      data_loss_type='mse',
+      disable_multiscale_loss=False,
+      supervised_by_linear_rgb=False,
+      compute_disp_metrics=False,
+      compute_normal_metrics=False,
+      data_coarse_loss_mult=0.1,
+      data_loss_mult=1.0,
+      distortion_loss_mult=0.0,  # the reference never wires this loss
+      interlevel_loss_mult=0.37,
+      orientation_coarse_loss_mult=0.01,
+      orientation_loss_mult=0.1,
+      orientation_loss_target='normals_pred',
+      predicted_normal_coarse_loss_mult=3e-5,
+      predicted_normal_loss_mult=3e-4,
+      accumulated_weights_loss_mult=0.29,
+      weights_entropy_coarse_loss_mult=0.02,
+      weights_entropy_loss_mult=0.05,
+      acc_threshold_for_weights_entropy_loss=0.0,
+  )
+
+
+def apply_fields(cfg, fields):
+  for k, v in fields.items():
+    assert hasattr(cfg, k), k
+    setattr(cfg, k, v)
+  return cfg
+
+
+def test_loss_value_parity():
+  """All reference loss functions (train_utils.py:33-325) match ours when fed
+  each framework's own (already parity-checked) forward outputs."""
+  tm, fm, params = build_pair('refnerf')
+  arrays = make_ray_arrays(N_RAYS, seed=11)
+  t_rend, t_hist = run_torch(tm, arrays, train=True)
+  j_rend, j_hist = run_jax(fm, params, arrays, train=True)
+
+  rgb_gt = np.random.RandomState(5).uniform(
+      0, 1, (N_RAYS, 3)).astype(np.float32)
+
+  ref_cfg = apply_fields(REF.configs.Config(), _loss_config_fields())
+  our_cfg = apply_fields(configs_lib.Config(), _loss_config_fields())
+
+  t_batch = REF.utils.Batch(rays=torch_rays(arrays), rgb=rgb_gt)
+  j_batch = rays_lib.Batch(rays=jax_rays(arrays), rgb=jnp.asarray(rgb_gt))
+
+  t_data, t_stats = REF.train_utils.compute_data_loss(
+      t_batch, t_rend, t_batch.rays, ref_cfg)
+  j_data, j_stats = losses_lib.compute_data_loss(
+      j_batch, j_rend, j_batch.rays, our_cfg)
+  assert_tree_close(j_data, t_data, 1e-5, 'data_loss')
+  assert_tree_close(j_stats['mses'], t_stats['mses'], 1e-6, 'mses')
+
+  pairs = [
+      ('interlevel',
+       REF.train_utils.interlevel_loss(t_hist, ref_cfg),
+       losses_lib.interlevel_loss(j_hist, our_cfg)),
+      ('orientation',
+       REF.train_utils.orientation_loss(t_batch.rays, tm, t_hist, ref_cfg),
+       losses_lib.orientation_loss(j_batch.rays, fm.num_levels, j_hist,
+                                   our_cfg)),
+      ('predicted_normal',
+       REF.train_utils.predicted_normal_loss(tm, t_hist, ref_cfg),
+       losses_lib.predicted_normal_loss(fm.num_levels, j_hist, our_cfg)),
+      ('accumulated_weights',
+       REF.train_utils.accumulated_weights_loss(t_rend, ref_cfg),
+       losses_lib.accumulated_weights_loss(j_rend, our_cfg)),
+      ('weights_entropy',
+       REF.train_utils.weights_entropy_loss(tm, t_rend, t_hist, ref_cfg,
+                                            warmup_ratio=0.8),
+       losses_lib.weights_entropy_loss(fm.num_levels, j_rend, j_hist,
+                                       our_cfg, warmup_ratio=0.8)),
+  ]
+  for name, t_val, j_val in pairs:
+    assert_tree_close(j_val, t_val, 1e-5, name)
+
+
+def test_train_step_parity():
+  """One optimizer step (losses -> grads -> value clip -> norm clip -> Adam)
+  moves both parameter sets identically (predicted-normal loss off; see
+  module docstring for the stop-gradient divergence it would expose)."""
+  tm, fm, params = build_pair('refnerf')
+  arrays = make_ray_arrays(N_RAYS, seed=23)
+  rgb_gt = np.random.RandomState(29).uniform(
+      0, 1, (N_RAYS, 3)).astype(np.float32)
+
+  fields = _loss_config_fields()
+  fields.update(
+      predicted_normal_coarse_loss_mult=0.0,
+      predicted_normal_loss_mult=0.0,
+  )
+  opt_fields = dict(
+      lr_init=2e-3, lr_final=2e-5, lr_delay_steps=0, lr_delay_mult=1.0,
+      max_steps=1000, adam_beta1=0.9, adam_beta2=0.999, adam_eps=1e-6,
+      grad_max_val=0.05, grad_max_norm=0.01)
+
+  # --- our jitted step ---
+  our_cfg = apply_fields(configs_lib.Config(), {**fields, **opt_fields})
+  our_cfg.randomized = False
+  our_cfg.stats_every = 1
+  state = step_lib.create_train_state(our_cfg, fm, params)
+  train_step = step_lib.make_train_step(fm, our_cfg)
+  j_batch = rays_lib.Batch(rays=jax_rays(arrays), rgb=jnp.asarray(rgb_gt))
+  new_state, stats = jax.jit(train_step)(state, j_batch)
+
+  # --- torch equivalent, hand-assembled like nerf_system.training_step ---
+  ref_cfg = apply_fields(REF.configs.Config(), {**fields, **opt_fields})
+  t_rays = torch_rays(arrays)
+  t_batch = REF.utils.Batch(rays=t_rays, rgb=rgb_gt)
+  tm.train(True)
+  # train_frac at step 0 is clip((0-1)/(max_steps-1)) = 0 in our step.
+  t_rend, t_hist = tm(t_rays, train_frac=0.0, compute_extras=False)
+  t_loss, _ = REF.train_utils.compute_data_loss(
+      t_batch, t_rend, t_rays, ref_cfg)
+  t_loss = t_loss + REF.train_utils.interlevel_loss(t_hist, ref_cfg)
+  t_loss = t_loss + REF.train_utils.orientation_loss(
+      t_rays, tm, t_hist, ref_cfg)
+  t_loss = t_loss + REF.train_utils.accumulated_weights_loss(t_rend, ref_cfg)
+  t_loss = t_loss + REF.train_utils.weights_entropy_loss(
+      tm, t_rend, t_hist, ref_cfg, warmup_ratio=1.0)
+
+  assert_tree_close(stats['loss'], t_loss, 1e-4, 'total loss')
+
+  opt = torch.optim.Adam(tm.parameters(), lr=opt_fields['lr_init'],
+                         betas=(0.9, 0.999), eps=opt_fields['adam_eps'])
+  opt.zero_grad()
+  t_loss.backward()
+  torch.nn.utils.clip_grad_value_(tm.parameters(), ref_cfg.grad_max_val)
+  torch.nn.utils.clip_grad_norm_(tm.parameters(), ref_cfg.grad_max_norm)
+  opt.step()
+
+  # --- compare updated parameters layer by layer ---
+  sub = new_state.params['nerf_mlp']
+  tmlp = tm.nerf_mlp
+
+  def check(layer, p, name):
+    assert_tree_close(np.array(p['kernel']).T, layer.weight, 5e-5,
+                      f'{name}.weight')
+    assert_tree_close(np.array(p['bias']), layer.bias, 5e-5, f'{name}.bias')
+
+  for i, layer in enumerate(tmlp.spatial_net):
+    check(layer, sub[f'spatial_{i}'], f'spatial_{i}')
+  for i, layer in enumerate(tmlp.viewdir_mlp):
+    check(layer, sub[f'viewdir_{i}'], f'viewdir_{i}')
+  for name in ('raw_density', 'grad_pred', 'raw_roughness', 'raw_rgb_diffuse',
+               'raw_tint', 'bottleneck', 'rgb'):
+    check(getattr(tmlp, name), sub[name], name)
