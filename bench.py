@@ -9,10 +9,11 @@ Prints ONE JSON line:
   {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": N / A100_REFERENCE_RAYS_PER_SEC}
 
-Baseline note: the reference publishes no throughput numbers (BASELINE.md).
-A100_REFERENCE_RAYS_PER_SEC is our measured-order estimate for the eager
-PyTorch reference (batch 1024 at ~2-3 it/s on A100 with double-backprop
-normals) = 3000 rays/s; vs_baseline > 5 meets the BASELINE.json north star.
+Baseline note: the reference publishes no throughput numbers. The 3000
+rays/s denominator is FLOPs-derived and cross-checked against a same-host
+measurement of the torch reference - full derivation and the reproduction
+commands (tools/measure_baseline.py) are in BASELINE.md "Derived baseline".
+vs_baseline > 5 meets the BASELINE.json north star.
 """
 
 import json

@@ -6,11 +6,30 @@ runs per-shard under `jax.shard_map`, and gradients (plus scalar stats) are
 reduced with `jax.lax.psum` over the 'data' axis - the hand-written analog of
 the reference's DDP allreduce (train.py:88), riding ICI.
 
-Useful when you want manual control of what is reduced (e.g. skipping stat
-reductions) or to compose with other meshes later (tp/pp axes).
+Loss coverage matches the GSPMD step, including the geometry/consistency
+losses (the flagship llff_refnerf_geometry_losses.gin stack). Two reduction
+regimes keep every term exactly equal to its single-device value:
+
+  * plain-mean terms (data under uniform lossmult, interlevel, orientation,
+    predicted-normal, distortion, smoothness, acc): per-shard value, pmean'd
+    with the gradients - exact because shards are equal-sized;
+  * masked-mean terms (data under non-uniform lossmult, weights-entropy,
+    the consistency family): numerator and denominator psum'd separately
+    inside the loss (losses.py `axis_name`), because masks are data-
+    dependent and a mean of per-shard ratios would drift. Their per-shard
+    values are already global, so the outer pmean is a no-op on them.
+
+Consistency rays are selected per-shard: each shard perturbs the first
+`sample_noise_size / n_shards` rays of ITS shard (the global batch is a
+random draw, so which rays get the consistency treatment is arbitrary; the
+GSPMD path's global-prefix selection is just one choice). On a single
+device the selection, the RNG stream, and every reduction coincide with the
+GSPMD path bit-for-bit.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +37,7 @@ from jax.sharding import PartitionSpec as P
 
 from refnerf_tpu.parallel import mesh as mesh_lib
 from refnerf_tpu.train import losses as losses_lib
+from refnerf_tpu.train import sampling
 from refnerf_tpu.train import step as step_lib
 
 
@@ -30,19 +50,40 @@ def make_sharded_train_step(model, config, mesh, raycast_fn=None):
   update, so every device applies the identical update.
   """
   num_levels = model.num_levels
-  if step_lib._consistency_enabled(config) or (
-      step_lib._distance_consistency_enabled(config)):
-    raise NotImplementedError(
-        'The explicit shard_map path currently covers the standard loss '
-        'stack; consistency losses use the GSPMD path.')
-
   axis = mesh_lib.DATA_AXIS
+  n_shards = mesh.shape[axis]
+
+  consistency_on = step_lib._consistency_enabled(config)
+  distance_consistency_on = step_lib._distance_consistency_enabled(config)
+  compute_extras = (config.compute_disp_metrics or
+                    config.compute_normal_metrics or consistency_on or
+                    distance_consistency_on)
+
+  local_config = config
+  if consistency_on or distance_consistency_on:
+    if config.sample_noise_size % n_shards != 0:
+      raise ValueError(
+          f'sample_noise_size {config.sample_noise_size} must divide across '
+          f'{n_shards} shards.')
+    # The consistency losses read sample_noise_size from the config; the
+    # per-shard closure sees the per-shard count.
+    local_config = dataclasses.replace(
+        config, sample_noise_size=config.sample_noise_size // n_shards)
 
   def per_shard_grads(params, step, batch, cameras):
     """Runs on ONE shard of the batch; returns psum-averaged (loss, grads)."""
     train_frac = jnp.clip((step - 1) / (config.max_steps - 1), 0, 1)
-    rng = jax.random.fold_in(jax.random.PRNGKey(config.seed),
-                             step.astype(jnp.int32))
+    base_rng = jax.random.fold_in(jax.random.PRNGKey(config.seed),
+                                  step.astype(jnp.int32))
+    rng_fwd, rng_noise, rng_noisy_fwd = jax.random.split(base_rng, 3)
+    if n_shards > 1:
+      # Distinct per-shard streams; with one shard the keys match the GSPMD
+      # path exactly (bit-for-bit parity is tested at n_shards == 1).
+      shard_id = jax.lax.axis_index(axis)
+      rng_fwd = jax.random.fold_in(rng_fwd, shard_id)
+      rng_noise = jax.random.fold_in(rng_noise, shard_id)
+      rng_noisy_fwd = jax.random.fold_in(rng_noisy_fwd, shard_id)
+
     rays = batch.rays
     from refnerf_tpu.cameras import rays as rays_lib
     if isinstance(rays, rays_lib.Pixels):
@@ -51,11 +92,26 @@ def make_sharded_train_step(model, config, mesh, raycast_fn=None):
     def loss_fn(p):
       renderings, ray_history = model.apply(
           {'params': p}, rays, train_frac=train_frac,
-          compute_extras=False, train=True,
-          rng=rng if config.randomized else None)
+          compute_extras=compute_extras, train=True,
+          rng=rng_fwd if config.randomized else None)
+
+      ratio = step_lib._consistency_ratio(config, step)
+
+      noisy_rays = None
+      renderings_noise = None
+      if consistency_on or distance_consistency_on:
+        n_noise = local_config.sample_noise_size // config.patch_size ** 2
+        noisy_rays = sampling.sample_noisy_rays(
+            rng_noise, rays, renderings[-1], config.sample_angle_range,
+            n_noise, config.sample_noise_angles, ratio)
+        renderings_noise, _ = model.apply(
+            {'params': p}, noisy_rays, train_frac=train_frac,
+            compute_extras=True, train=True,
+            rng=rng_noisy_fwd if config.randomized else None)
+
       terms = {}
       data_loss, stats = losses_lib.compute_data_loss(
-          batch, renderings, rays, config)
+          batch, renderings, rays, config, axis_name=axis)
       terms['data'] = data_loss
       if config.interlevel_loss_mult > 0:
         terms['interlevel'] = losses_lib.interlevel_loss(ray_history, config)
@@ -69,10 +125,37 @@ def make_sharded_train_step(model, config, mesh, raycast_fn=None):
           config.predicted_normal_loss_mult > 0):
         terms['predicted_normals'] = losses_lib.predicted_normal_loss(
             num_levels, ray_history, config)
+      if config.patch_size > 1 and (
+          config.depth_smoothness_coarse_loss_mult > 0 or
+          config.depth_smoothness_loss_mult > 0):
+        terms['smoothness'] = losses_lib.compute_depth_smoothness_loss(
+            renderings, config)
+      if consistency_on:
+        (terms['diffuse_consistency'],
+         terms['specular_consistency'],
+         terms['normals_consistency']) = losses_lib.noisy_consistency_loss(
+             num_levels, renderings, renderings_noise, local_config, ratio,
+             axis_name=axis)
+      if config.accumulated_weights_loss_mult > 0:
+        terms['acc'] = losses_lib.accumulated_weights_loss(renderings, config)
+      if distance_consistency_on:
+        terms['distance_consistency'] = (
+            losses_lib.noisy_distance_consistency_loss(
+                num_levels, rays, noisy_rays, renderings, renderings_noise,
+                local_config, ratio, axis_name=axis))
+      if (config.weights_entropy_loss_mult > 0 or
+          config.weights_entropy_coarse_loss_mult > 0):
+        terms['weights_entropy'] = losses_lib.weights_entropy_loss(
+            num_levels, renderings, ray_history, config, ratio,
+            axis_name=axis)
+
       return jnp.sum(jnp.stack(list(terms.values()))), stats
 
     (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     # THE collective: average loss/grads/stats across the data axis (ICI).
+    # Terms computed with axis_name are already global on every shard, so
+    # this pmean leaves them (and their gradient contributions) unchanged;
+    # per-shard plain-mean terms get their exact global average here.
     loss = jax.lax.pmean(loss, axis)
     grads = jax.tree_util.tree_map(lambda g: jax.lax.pmean(g, axis), grads)
     stats = jax.tree_util.tree_map(lambda s: jax.lax.pmean(s, axis), stats)

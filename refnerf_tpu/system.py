@@ -297,6 +297,12 @@ class NeRFSystem:
 
     metrics, metrics_cc, render_times, showcases = [], [], [], []
     num_eval = min(self.val_dataset.size, config.eval_dataset_limit)
+    # Showcase selection (ref: nerf_system.py:329-334): a seeded permutation
+    # picks num_showcase_images eval views whose panel suites are logged to
+    # TensorBoard (and whose ray bundles are dumped under eval_save_ray_data).
+    perm = np.random.RandomState(config.seed).permutation(num_eval)
+    showcase_indices = set(
+        np.sort(perm[:config.num_showcase_images]).tolist())
 
     for idx in range(num_eval):
       batch = next(self.val_dataset)
@@ -305,13 +311,18 @@ class NeRFSystem:
           render_fn, batch.rays, config, mesh=self._eval_mesh())
       render_times.append(time.time() - eval_start)
 
+      ray_bundle = {k: np.asarray(v) for k, v in rendering.items()
+                    if k.startswith('ray_')}
       rendering = {k: np.asarray(v, np.float64)
                    for k, v in rendering.items() if not k.startswith('ray_')}
       gt_rgb = np.asarray(batch.rgb, np.float64)
       rendering['rgb_cc'] = image_ops.color_correct(rendering['rgb'], gt_rgb)
 
-      if not config.eval_only_once:
-        showcases.append((idx, rendering, batch))
+      if idx in showcase_indices:
+        # deterministic_showcase labels panels by dataset index; otherwise
+        # by collection order (ref: nerf_system.py:400-403).
+        label = idx if config.deterministic_showcase else len(showcases)
+        showcases.append((label, {**rendering, **ray_bundle}, batch))
       if not config.render_path:
         rgb = rendering['rgb']
         rgb_cc = rendering['rgb_cc']
@@ -387,6 +398,18 @@ class NeRFSystem:
           f.write(f'{name}: {np.mean([m[name] for m in metrics])}\n')
         for name in metrics_cc[0]:
           f.write(f'cc_{name}: {np.mean([m[name] for m in metrics_cc])}\n')
+
+    if self.summary_writer is not None and not config.render_path:
+      dec = max(config.vis_decimate, 1)
+      decimate = lambda x: x[::dec, ::dec] if dec > 1 else x
+      for label, rendering, batch in showcases:
+        suite = vis_lib.visualize_suite(
+            rendering, batch.rays, config.supervised_by_linear_rgb)
+        for k, v in suite.items():
+          self.summary_writer.add_image(
+              f'test/showcase_{label}_{k}',
+              decimate(np.asarray(v, np.float32)), step,
+              dataformats='HWC' if v.ndim == 3 else 'HW')
     return metrics
 
   # ------------------------------------------------------------------ render

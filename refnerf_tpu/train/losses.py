@@ -15,13 +15,27 @@ from refnerf_tpu.ops import ref_utils
 from refnerf_tpu.ops import stepfun
 
 
-def _masked_mean(x, mask):
-  """mean(x[mask]) with static shapes; mask broadcasts against x."""
+def _sum_all(x, axis_name=None):
+  """Global sum: local jnp.sum, psum'd across `axis_name` under shard_map."""
+  s = jnp.sum(x)
+  if axis_name is not None:
+    s = jax.lax.psum(s, axis_name)
+  return s
+
+
+def _masked_mean(x, mask, axis_name=None):
+  """mean(x[mask]) with static shapes; mask broadcasts against x.
+
+  With axis_name set (explicit shard_map path), numerator and denominator
+  are psum'd separately so the result equals the single-device value exactly
+  (a mean of per-shard masked means would not, since masks are data-
+  dependent)."""
   mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
-  return jnp.sum(x * mask) / jnp.maximum(1e-10, jnp.sum(mask))
+  return (_sum_all(x * mask, axis_name) /
+          jnp.maximum(1e-10, _sum_all(mask, axis_name)))
 
 
-def compute_data_loss(batch, renderings, rays, config):
+def compute_data_loss(batch, renderings, rays, config, axis_name=None):
   """Photometric loss over all levels + mse stats (ref: train_utils.py:33-88).
 
   Returns (loss, stats) where stats['mses'] is a per-level array.
@@ -38,10 +52,10 @@ def compute_data_loss(batch, renderings, rays, config):
   if config.supervised_by_linear_rgb:
     gt_rgb = image_ops.srgb_to_linear(gt_rgb)
 
-  denom = lossmult.sum()
+  denom = _sum_all(lossmult, axis_name)
   for rendering in renderings:
     resid_sq = (rendering['rgb'] - gt_rgb) ** 2
-    mses.append((lossmult * resid_sq).sum() / denom)
+    mses.append(_sum_all(lossmult * resid_sq, axis_name) / denom)
 
     if config.data_loss_type == 'mse':
       data_loss = resid_sq
@@ -49,7 +63,7 @@ def compute_data_loss(batch, renderings, rays, config):
       data_loss = jnp.sqrt(resid_sq + config.charb_padding ** 2)
     else:
       raise ValueError(f'Unknown data_loss_type {config.data_loss_type}')
-    data_losses.append((lossmult * data_loss).sum() / denom)
+    data_losses.append(_sum_all(lossmult * data_loss, axis_name) / denom)
 
     if config.compute_disp_metrics and batch.disps is not None:
       disp = 1 / (1 + rendering['distance_mean'])
@@ -174,7 +188,7 @@ def _var_unbiased(x, axis):
 
 
 def noisy_consistency_loss(num_levels, renderings, renderings_noise, config,
-                           warmup_ratio=1.0):
+                           warmup_ratio=1.0, axis_name=None):
   """Diffuse/specular/normal consistency across perturbed views.
 
   The specular term is *negated*: specular color is encouraged to vary with
@@ -199,18 +213,18 @@ def noisy_consistency_loss(num_levels, renderings, renderings_noise, config,
     if dtype_ == 'mse':
       diffuse_mse = (rendering['diffuse'][:n_samples, None] - noise_diffuse)**2
       diffuse_mse = diffuse_mse.mean(axis=1, keepdims=True)
-      diffuse_loss = _masked_mean(diffuse_mse.sum(axis=-1), mask)
+      diffuse_loss = _masked_mean(diffuse_mse.sum(axis=-1), mask, axis_name)
     elif dtype_ == 'avg_mse':
       diffuse_mse = (rendering['diffuse'][:n_samples, None] -
                      noise_diffuse.mean(axis=1, keepdims=True)) ** 2
       diffuse_mse = diffuse_mse.mean(axis=1, keepdims=True)
-      diffuse_loss = _masked_mean(diffuse_mse.sum(axis=-1), mask)
+      diffuse_loss = _masked_mean(diffuse_mse.sum(axis=-1), mask, axis_name)
     elif dtype_ == 'var':
       diffuse_rays = jnp.concatenate(
           [rendering['diffuse'][:n_samples, None], noise_diffuse], axis=1)
       diffuse_var = _var_unbiased(diffuse_rays, axis=1).mean(
           axis=-1, keepdims=True)
-      diffuse_loss = _masked_mean(diffuse_var.sum(axis=-1), mask)
+      diffuse_loss = _masked_mean(diffuse_var.sum(axis=-1), mask, axis_name)
     else:
       raise ValueError(f'Unknown consistency_diffuse_loss_type {dtype_}')
 
@@ -219,18 +233,18 @@ def noisy_consistency_loss(num_levels, renderings, renderings_noise, config,
       specular_mse = (rendering['specular'][:n_samples, None] -
                       noise_specular) ** 2
       specular_mse = specular_mse.mean(axis=1, keepdims=True)
-      specular_loss = -_masked_mean(specular_mse.sum(axis=-1), mask)
+      specular_loss = -_masked_mean(specular_mse.sum(axis=-1), mask, axis_name)
     elif stype == 'avg_mse':
       specular_mse = (rendering['specular'][:n_samples, None] -
                       noise_specular.mean(axis=1, keepdims=True)) ** 2
       specular_mse = specular_mse.mean(axis=1, keepdims=True)
-      specular_loss = -_masked_mean(specular_mse.sum(axis=-1), mask)
+      specular_loss = -_masked_mean(specular_mse.sum(axis=-1), mask, axis_name)
     elif stype == 'var':
       specular_rays = jnp.concatenate(
           [rendering['specular'][:n_samples, None], noise_specular], axis=1)
       specular_var = _var_unbiased(specular_rays, axis=1).mean(
           axis=-1, keepdims=True)
-      specular_loss = -_masked_mean(specular_var.sum(axis=-1), mask)
+      specular_loss = -_masked_mean(specular_var.sum(axis=-1), mask, axis_name)
     else:
       raise ValueError(f'Unknown consistency_specular_loss_type {stype}')
 
@@ -252,7 +266,7 @@ def noisy_consistency_loss(num_levels, renderings, renderings_noise, config,
     else:
       raise ValueError('Given an unknown type of '
                        'consistency_normal_loss_target.')
-    normal_loss = _masked_mean(normal_err, mask)
+    normal_loss = _masked_mean(normal_err, mask, axis_name)
 
     if i < num_levels - 1:
       total_diffuse_loss += (warmup_ratio *
@@ -277,7 +291,7 @@ def noisy_consistency_loss(num_levels, renderings, renderings_noise, config,
 
 def noisy_distance_consistency_loss(num_levels, rays, noisy_rays, renderings,
                                     renderings_noise, config,
-                                    warmup_ratio=1.0):
+                                    warmup_ratio=1.0, axis_name=None):
   """3D expected-surface-point consistency across perturbed views
   (ref: train_utils.py:279-306)."""
   total_distance_loss = 0.0
@@ -301,7 +315,7 @@ def noisy_distance_consistency_loss(num_levels, rays, noisy_rays, renderings,
       distance_mse = ((origins + directions * distance) -
                       (origins_ + directions_ * distance_)) ** 2
       distance_mse = distance_mse.mean(axis=1, keepdims=True)
-      distance_loss = _masked_mean(distance_mse.sum(axis=-1), mask)
+      distance_loss = _masked_mean(distance_mse.sum(axis=-1), mask, axis_name)
     else:
       raise ValueError(f'Unknown consistency_distance_loss_type '
                        f'{config.consistency_distance_loss_type}')
@@ -319,7 +333,7 @@ def accumulated_weights_loss(renderings, config):
 
 
 def weights_entropy_loss(num_levels, renderings, ray_history, config,
-                         warmup_ratio):
+                         warmup_ratio, axis_name=None):
   """Shannon entropy of compositing weights on high-opacity rays
   (ref: train_utils.py:314-325)."""
   total_loss = 0.0
@@ -327,7 +341,7 @@ def weights_entropy_loss(num_levels, renderings, ray_history, config,
     mask = rendering['acc'] > config.acc_threshold_for_weights_entropy_loss
     w = ray_results['weights']
     ent = (-w * jnp.log(w + 1e-10)).sum(axis=-1)
-    loss = _masked_mean(ent, mask)
+    loss = _masked_mean(ent, mask, axis_name)
     mult = (config.weights_entropy_coarse_loss_mult if i < num_levels - 1
             else config.weights_entropy_loss_mult)
     total_loss += warmup_ratio * mult * loss

@@ -48,3 +48,75 @@ def test_shard_map_trains():
     losses.append(float(stats['loss']))
   assert np.all(np.isfinite(losses))
   assert losses[-1] < losses[0]
+
+
+_GEOMETRY = """
+Config.sample_noise_size = 16
+Config.sample_noise_angles = 2
+Config.sample_angle_range = 0.1
+Config.consistency_warmup_steps = 0.0
+Config.consistency_diffuse_loss_type = 'var'
+Config.consistency_diffuse_loss_mult = 3e-5
+Config.consistency_specular_loss_type = 'var'
+Config.consistency_specular_loss_mult = 3e-5
+Config.consistency_normal_loss_target = 'normals'
+Config.consistency_normal_loss_mult = 3e-5
+Config.consistency_distance_loss_mult = 3e-6
+Config.weights_entropy_loss_mult = 3e-5
+Config.accumulated_weights_loss_mult = 3e-4
+Config.acc_threshold_for_consistency_loss = 0.1
+Config.acc_threshold_for_weights_entropy_loss = 0.1
+"""
+
+
+def test_shard_map_geometry_losses_bitmatch_single_device():
+  """With one shard, the explicit path's consistency-ray selection, RNG
+  streams, and psum'd masked means all coincide with the GSPMD step."""
+  config, model, state, batch = _setup(_GEOMETRY)
+  gspmd_step = jax.jit(step_lib.make_train_step(model, config))
+  state_g, stats_g = gspmd_step(state, batch)
+
+  config2, model2, state2, batch2 = _setup(_GEOMETRY)
+  mesh = mesh_lib.create_mesh(n_devices=1)
+  state_s = mesh_lib.replicate(state2, mesh)
+  batch_s = mesh_lib.shard_batch(batch2, mesh)
+  sharded_step = shard_step_lib.make_sharded_train_step(model2, config2, mesh)
+  state_s, stats_s = sharded_step(state_s, batch_s)
+
+  for k in ['diffuse_consistency', 'specular_consistency',
+            'normals_consistency', 'distance_consistency', 'weights_entropy']:
+    assert k in stats_g['losses'], k
+  np.testing.assert_allclose(float(stats_g['loss']), float(stats_s['loss']),
+                             rtol=1e-6)
+  for a, b in zip(jax.tree_util.tree_leaves(state_g.params),
+                  jax.tree_util.tree_leaves(state_s.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_shard_map_geometry_losses_train_8dev():
+  """The flagship geometry-loss stack runs on the explicit path across the
+  full 8-device mesh and optimizes."""
+  config, model, state, batch = _setup(_GEOMETRY)
+  mesh = mesh_lib.create_mesh()
+  assert mesh.shape[mesh_lib.DATA_AXIS] == 8
+  state = mesh_lib.replicate(state, mesh)
+  batch = mesh_lib.shard_batch(batch, mesh)
+  step_fn = shard_step_lib.make_sharded_train_step(model, config, mesh)
+  losses = []
+  for _ in range(4):
+    state, stats = step_fn(state, batch)
+    losses.append(float(stats['loss']))
+  assert np.all(np.isfinite(losses))
+  assert losses[-1] < losses[0]
+
+
+def test_shard_map_rejects_indivisible_noise():
+  config, model, state, batch = _setup(
+      _GEOMETRY.replace('Config.sample_noise_size = 16',
+                        'Config.sample_noise_size = 12'))
+  mesh = mesh_lib.create_mesh()
+  try:
+    shard_step_lib.make_sharded_train_step(model, config, mesh)
+    assert False, 'expected ValueError'
+  except ValueError as e:
+    assert 'divide' in str(e)
