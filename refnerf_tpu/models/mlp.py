@@ -27,6 +27,7 @@ from refnerf_tpu.ops import coord
 from refnerf_tpu.ops import geopoly
 from refnerf_tpu.ops import image as image_ops
 from refnerf_tpu.ops import ref_utils
+from refnerf_tpu.ops.pallas import fused_mlp
 
 
 def _weight_init(name: str):
@@ -91,6 +92,13 @@ class MLP(nn.Module):
   # MXU precision knob: 'bfloat16' runs the dense trunks in bf16 (params and
   # heads stay float32) - the standard TPU mixed-precision recipe.
   compute_dtype: str = 'float32'
+  # Layer-fused Pallas trunks (ops/pallas/fused_mlp.py): both dense stacks
+  # run per sample-block with activations VMEM-resident, including the
+  # density-gradient chain and its hand-derived second-order backward.
+  # 'auto' = on for TPU backends, off elsewhere (CPU tests/golden pins keep
+  # plain-XLA numerics); 'on'/'off' force it.
+  fused_trunk: str = 'auto'
+  fused_block: int = 512
 
   def setup(self):
     if self.use_reflections and not (self.enable_pred_normals or
@@ -144,6 +152,27 @@ class MLP(nn.Module):
         for i in range(self.net_depth_viewdirs)]
     self.rgb_layer = dense(self.num_rgb_channels, 'rgb')
 
+  def _fused(self, depth):
+    """Whether to dispatch a dense trunk to the fused Pallas kernels."""
+    if self.is_initializing():
+      return False  # init materializes params through the plain layer stack
+    if self.net_activation not in (nn.relu, jax.nn.relu):
+      return False  # the kernel hardcodes relu (and its exact AD semantics)
+    if depth > 1 and (depth - 1) % self.skip_layer == 0:
+      return False  # trailing-concat output shape the kernel doesn't model
+    if self.fused_trunk == 'auto':
+      return jax.default_backend() == 'tpu'
+    return self.fused_trunk == 'on'
+
+  def _stack_params(self, layers):
+    """Collect (kernels, biases) of a bound nn.Dense stack."""
+    ks, bs = [], []
+    for layer in layers:
+      v = layer.variables['params']
+      ks.append(v['kernel'])
+      bs.append(v['bias'])
+    return ks, bs
+
   def run_spatial_net(self, x):
     """The spatial trunk: dense+act with periodic input-skip concats."""
     inputs = x
@@ -156,13 +185,17 @@ class MLP(nn.Module):
         x = jnp.concatenate([x, inputs], axis=-1)
     return x
 
+  def encode_position(self, means, covs):
+    """Lift sample Gaussians onto the basis and IPE-encode them."""
+    lifted_means, lifted_vars = coord.lift_and_diagonalize(
+        means, covs, jnp.asarray(self.pos_basis_t))
+    return coord.integrated_pos_enc(lifted_means, lifted_vars,
+                                    self.min_deg_point, self.max_deg_point)
+
   def predict_density(self, means, covs):
     """IPE encode -> spatial net -> raw density. Pure in `means` so it can
     be differentiated for density-gradient normals."""
-    lifted_means, lifted_vars = coord.lift_and_diagonalize(
-        means, covs, jnp.asarray(self.pos_basis_t))
-    x = coord.integrated_pos_enc(lifted_means, lifted_vars,
-                                 self.min_deg_point, self.max_deg_point)
+    x = self.encode_position(means, covs)
     x = self.run_spatial_net(x)
     raw_density = self.raw_density_layer(x)[..., 0]
     return raw_density, x
@@ -191,7 +224,31 @@ class MLP(nn.Module):
         not self.disable_density_normals
         and (train or (self.use_reflections and not self.enable_pred_normals)))
 
-    if compute_density_normals:
+    if self._fused(self.net_depth):
+      # Fused Pallas trunk: one kernel computes features, raw density, and
+      # (in training) the density gradient u = d sigma/d x_enc with the
+      # whole chain VMEM-resident; the encoding Jacobian (d x_enc/d means)
+      # is applied outside via jax.vjp, which stays differentiable for the
+      # outer loss gradient (the kernel's custom VJP supplies the exact
+      # second-order parameter cotangents).
+      ks, bs = self._stack_params(self.spatial_net)
+      vd = self.raw_density_layer.variables['params']
+      fused_kw = dict(skip_period=self.skip_layer,
+                      compute_dtype=self.compute_dtype,
+                      block=self.fused_block)
+      if compute_density_normals:
+        x_enc, enc_vjp = jax.vjp(
+            lambda m: self.encode_position(m, covs), means)
+        x, raw_density, u = fused_mlp.fused_trunk(
+            x_enc, ks, bs, vd['kernel'], vd['bias'], density_grad=True,
+            **fused_kw)
+        normals = -ref_utils.l2_normalize(enc_vjp(u)[0])
+      else:
+        x, raw_density = fused_mlp.fused_trunk(
+            self.encode_position(means, covs), ks, bs,
+            vd['kernel'], vd['bias'], **fused_kw)
+        normals = None
+    elif compute_density_normals:
       # Nested AD: d(sum raw_density)/d(means) gives per-sample density
       # gradients in one fused backward (covs are independent of means).
       def density_sum(m):
@@ -278,12 +335,18 @@ class MLP(nn.Module):
 
         x = jnp.concatenate(x, axis=-1)
 
-        inputs = x
-        for i, layer in enumerate(self.viewdir_mlp):
-          x = layer(x)
-          x = self.net_activation(x)
-          if i % self.skip_layer == 0 and i > 0:
-            x = jnp.concatenate([x, inputs], axis=-1)
+        if self.viewdir_mlp and self._fused(self.net_depth_viewdirs):
+          ks, bs = self._stack_params(self.viewdir_mlp)
+          x = fused_mlp.fused_trunk(
+              x, ks, bs, skip_period=self.skip_layer, needs_dx=True,
+              compute_dtype=self.compute_dtype, block=self.fused_block)
+        else:
+          inputs = x
+          for i, layer in enumerate(self.viewdir_mlp):
+            x = layer(x)
+            x = self.net_activation(x)
+            if i % self.skip_layer == 0 and i > 0:
+              x = jnp.concatenate([x, inputs], axis=-1)
 
       # With diffuse/specular split, `rgb` is the linear specular color.
       rgb = self.rgb_activation(

@@ -1,0 +1,100 @@
+"""Fused-trunk MLP vs the plain flax path: identical params, rays, grads.
+
+`fused_trunk='on'` must be a pure performance knob: the full Ref-NeRF MLP
+(reflections, IDE, predicted normals, diffuse/specular/tint/roughness,
+n.v, density-gradient normals) and its loss gradients — including the
+second-order terms through the normals — must match the plain path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from refnerf_tpu.models.mlp import MLP
+
+
+MLP_KW = dict(
+    net_depth=4, net_width=64, bottleneck_width=32,
+    net_depth_viewdirs=3, net_width_viewdirs=32,
+    max_deg_point=8, deg_view=2, skip_layer=2, skip_layer_dir=2,
+    basis_shape='octahedron', basis_subdivisions=1,
+    use_reflections=True, use_directional_enc=True,
+    enable_pred_normals=True, enable_pred_roughness=True,
+    use_diffuse_color=True, use_specular_tint=True, use_n_dot_v=True,
+    fused_block=16,
+)
+
+
+def _gaussians(key, n_rays=5, n_samples=9):
+  k1, k2, k3 = jax.random.split(key, 3)
+  means = jax.random.normal(k1, (n_rays, n_samples, 3))
+  diag = jax.nn.softplus(jax.random.normal(k2, (n_rays, n_samples, 3))) * 0.01
+  covs = jax.vmap(jax.vmap(jnp.diag))(diag)
+  viewdirs = jax.random.normal(k3, (n_rays, 3))
+  viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+  return (means, covs), viewdirs
+
+
+def _apply(params, gaussians, viewdirs, train, **overrides):
+  mlp = MLP(**{**MLP_KW, **overrides})
+  return mlp.apply({'params': params}, gaussians, viewdirs, train=train)
+
+
+@pytest.mark.parametrize('train', [True, False])
+def test_outputs_match(train):
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(0))
+  mlp = MLP(**MLP_KW, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(1)}, gaussians,
+                    viewdirs, train=False)['params']
+  ref = _apply(params, gaussians, viewdirs, train, fused_trunk='off')
+  out = _apply(params, gaussians, viewdirs, train, fused_trunk='on')
+  assert set(ref) == set(out)
+  for k in ref:
+    if ref[k] is None:
+      assert out[k] is None, k
+      continue
+    np.testing.assert_allclose(
+        ref[k], out[k], atol=2e-5, rtol=2e-4, err_msg=k)
+
+
+def test_param_gradients_match():
+  """Loss touching rgb/density/normals: first+second-order grads match."""
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(2))
+  mlp = MLP(**MLP_KW, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(3)}, gaussians,
+                    viewdirs, train=False)['params']
+
+  def loss(params, mode):
+    r = _apply(params, gaussians, viewdirs, True, fused_trunk=mode)
+    # density normals feed the loss -> exercises the second-order VJP.
+    t = jnp.mean((r['rgb'] - 0.5) ** 2) + jnp.mean(r['density'])
+    t = t + jnp.mean(jnp.sum(r['normals'] * r['normals_pred'], axis=-1))
+    return t
+
+  g_ref = jax.grad(loss)(params, 'off')
+  g_fus = jax.grad(loss)(params, 'on')
+  flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+  flat_f = jax.tree.leaves(g_fus)
+  assert len(flat_r) == len(flat_f)
+  for (path, a), b in zip(flat_r, flat_f):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(
+        a, b, atol=5e-4 * scale, rtol=1e-3,
+        err_msg=jax.tree_util.keystr(path))
+
+
+def test_param_tree_identical():
+  """fused_trunk must not change the checkpoint param structure."""
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(4))
+  t_off = jax.tree.structure(
+      MLP(**MLP_KW, fused_trunk='off').init(
+          {'params': jax.random.PRNGKey(5)}, gaussians, viewdirs,
+          train=False))
+  t_on = jax.tree.structure(
+      MLP(**MLP_KW, fused_trunk='on').init(
+          {'params': jax.random.PRNGKey(5)}, gaussians, viewdirs,
+          train=False))
+  assert t_off == t_on
