@@ -173,6 +173,84 @@ class MLP(nn.Module):
       bs.append(v['bias'])
     return ks, bs
 
+  def _fused_spatial(self, means, covs, viewdirs, compute_density_normals):
+    """Spatial stack on the fused Pallas kernel (ops/pallas/fused_mlp.py).
+
+    One kernel evaluates the IPE encoding (from scaled lifted means/vars),
+    the trunk, the density head, every feature-vector head (specular
+    density / grad_pred / roughness / diffuse / tint as one f32 block, the
+    bottleneck as a compute-dtype block), and - in training - the density
+    gradient u = d sigma/d m, all VMEM-resident; the kernel's custom VJP
+    supplies exact first- and second-order parameter cotangents. The
+    encoding Jacobian (scales x basis) is folded outside on the tiny
+    [..., deg, n_basis] tensor, which stays differentiable in u for the
+    outer loss gradient.
+
+    Returns (y or None, raw_density, fused-head dict, normals or None).
+    """
+    ks, bs = self._stack_params(self.spatial_net)
+    vd = self.raw_density_layer.variables['params']
+
+    heads = []
+    if self.enable_pred_specular_density:
+      heads.append(('specular_density', self.raw_specular_density_layer, 1))
+    if self.enable_pred_normals:
+      heads.append(('grad_pred', self.grad_pred_layer, 3))
+    rgb_heads = (not self.disable_rgb) and viewdirs is not None
+    if rgb_heads:
+      if self.enable_pred_roughness:
+        heads.append(('roughness', self.raw_roughness_layer, 1))
+      if self.use_diffuse_color:
+        heads.append(('diffuse', self.raw_rgb_diffuse_layer,
+                      self.num_rgb_channels))
+      if self.use_specular_tint:
+        heads.append(('tint', self.raw_tint_layer, 3))
+    head_f32 = None
+    if heads:
+      hp = [h[1].variables['params'] for h in heads]
+      head_f32 = (jnp.concatenate([p['kernel'] for p in hp], axis=-1),
+                  jnp.concatenate([p['bias'] for p in hp]))
+    head_cdt = None
+    if rgb_heads and self.bottleneck_width > 0:
+      bp = self.bottleneck_layer.variables['params']
+      head_cdt = (bp['kernel'], bp['bias'])
+    need_y = (not self.disable_rgb) and viewdirs is None
+
+    # Scaled lifted means/vars, deg-major basis-minor - exactly the
+    # argument layout of coord.integrated_pos_enc.
+    basis = jnp.asarray(self.pos_basis_t)
+    lm, lv = coord.lift_and_diagonalize(means, covs, basis)
+    scales = 2.0 ** jnp.arange(self.min_deg_point, self.max_deg_point)
+    shp = lm.shape[:-1] + (-1,)
+    m_s = jnp.reshape(lm[..., None, :] * scales[:, None], shp)
+    v_s = jnp.reshape(lv[..., None, :] * scales[:, None] ** 2, shp)
+
+    outs = fused_mlp.fused_encoded_trunk(
+        m_s, v_s, ks, bs, vd['kernel'], vd['bias'],
+        skip_period=self.skip_layer, density_grad=compute_density_normals,
+        head_f32=head_f32, head_cdt=head_cdt, out_y=need_y,
+        compute_dtype=self.compute_dtype, block=self.fused_block)
+    outs = list(outs if isinstance(outs, tuple) else (outs,))
+    y = outs.pop(0) if need_y else None
+    raw_density = outs.pop(0)
+    fh = {}
+    if head_f32 is not None:
+      hout = outs.pop(0)
+      off = 0
+      for name, _, dim in heads:
+        fh[name] = hout[..., off:off + dim]
+        off += dim
+    if head_cdt is not None:
+      fh['bottleneck'] = outs.pop(0)
+    normals = None
+    if compute_density_normals:
+      u_m = outs.pop(0)
+      n_basis = basis.shape[-1]
+      u_k = u_m.reshape(u_m.shape[:-1] + (scales.shape[0], n_basis))
+      grads = jnp.matmul((u_k * scales[:, None]).sum(-2), basis.T)
+      normals = -ref_utils.l2_normalize(grads)
+    return y, raw_density, fh, normals
+
   def run_spatial_net(self, x):
     """The spatial trunk: dense+act with periodic input-skip concats."""
     inputs = x
@@ -224,30 +302,10 @@ class MLP(nn.Module):
         not self.disable_density_normals
         and (train or (self.use_reflections and not self.enable_pred_normals)))
 
+    fh = None
     if self._fused(self.net_depth):
-      # Fused Pallas trunk: one kernel computes features, raw density, and
-      # (in training) the density gradient u = d sigma/d x_enc with the
-      # whole chain VMEM-resident; the encoding Jacobian (d x_enc/d means)
-      # is applied outside via jax.vjp, which stays differentiable for the
-      # outer loss gradient (the kernel's custom VJP supplies the exact
-      # second-order parameter cotangents).
-      ks, bs = self._stack_params(self.spatial_net)
-      vd = self.raw_density_layer.variables['params']
-      fused_kw = dict(skip_period=self.skip_layer,
-                      compute_dtype=self.compute_dtype,
-                      block=self.fused_block)
-      if compute_density_normals:
-        x_enc, enc_vjp = jax.vjp(
-            lambda m: self.encode_position(m, covs), means)
-        x, raw_density, u = fused_mlp.fused_trunk(
-            x_enc, ks, bs, vd['kernel'], vd['bias'], density_grad=True,
-            **fused_kw)
-        normals = -ref_utils.l2_normalize(enc_vjp(u)[0])
-      else:
-        x, raw_density = fused_mlp.fused_trunk(
-            self.encode_position(means, covs), ks, bs,
-            vd['kernel'], vd['bias'], **fused_kw)
-        normals = None
+      x, raw_density, fh, normals = self._fused_spatial(
+          means, covs, viewdirs, compute_density_normals)
     elif compute_density_normals:
       # Nested AD: d(sum raw_density)/d(means) gives per-sample density
       # gradients in one fused backward (covs are independent of means).
@@ -261,7 +319,9 @@ class MLP(nn.Module):
       normals = None
 
     if self.enable_pred_specular_density:
-      raw_specular_density = self.raw_specular_density_layer(x)[..., 0]
+      raw_specular_density = (
+          fh['specular_density'][..., 0] if fh is not None
+          else self.raw_specular_density_layer(x)[..., 0])
 
     if self.density_noise > 0 and train:
       if rng is None:
@@ -275,7 +335,8 @@ class MLP(nn.Module):
             key, raw_specular_density.shape)
 
     if self.enable_pred_normals:
-      grad_pred = self.grad_pred_layer(x)
+      grad_pred = (fh['grad_pred'] if fh is not None
+                   else self.grad_pred_layer(x))
       normals_pred = -ref_utils.l2_normalize(grad_pred)
       normals_to_use = normals_pred
     else:
@@ -295,17 +356,22 @@ class MLP(nn.Module):
     if self.disable_rgb:
       rgb = jnp.zeros_like(means)
     else:
+      raw_rgb = None
       if viewdirs is not None:
         if self.use_diffuse_color:
-          raw_rgb_diffuse = self.raw_rgb_diffuse_layer(x)
+          raw_rgb_diffuse = (fh['diffuse'] if fh is not None
+                             else self.raw_rgb_diffuse_layer(x))
         if self.use_specular_tint:
-          tint = nn.sigmoid(self.raw_tint_layer(x))
+          tint = nn.sigmoid(fh['tint'] if fh is not None
+                            else self.raw_tint_layer(x))
         if self.enable_pred_roughness:
           roughness = self.roughness_activation(
-              self.raw_roughness_layer(x) + self.roughness_bias)
+              (fh['roughness'] if fh is not None
+               else self.raw_roughness_layer(x)) + self.roughness_bias)
 
         if self.bottleneck_width > 0:
-          bottleneck = self.bottleneck_layer(x)
+          bottleneck = (fh['bottleneck'] if fh is not None
+                        else self.bottleneck_layer(x))
           if self.bottleneck_noise > 0 and train:
             if rng is None:
               raise ValueError('bottleneck_noise > 0 requires an rng key.')
@@ -333,14 +399,18 @@ class MLP(nn.Module):
               normals_to_use * viewdirs[..., None, :], axis=-1, keepdims=True)
           x.append(dotprod)
 
-        x = jnp.concatenate(x, axis=-1)
-
         if self.viewdir_mlp and self._fused(self.net_depth_viewdirs):
+          # Fused directional trunk: the input pieces go in as separate
+          # segments (no XLA concatenate / pad+maximum transpose), and the
+          # rgb head runs in-kernel so the trunk features never hit HBM.
           ks, bs = self._stack_params(self.viewdir_mlp)
-          x = fused_mlp.fused_trunk(
-              x, ks, bs, skip_period=self.skip_layer, needs_dx=True,
+          rp = self.rgb_layer.variables['params']
+          raw_rgb = fused_mlp.fused_trunk(
+              x, ks, bs, head_f32=(rp['kernel'], rp['bias']), out_y=False,
+              skip_period=self.skip_layer, needs_dx=True,
               compute_dtype=self.compute_dtype, block=self.fused_block)
         else:
+          x = jnp.concatenate(x, axis=-1)
           inputs = x
           for i, layer in enumerate(self.viewdir_mlp):
             x = layer(x)
@@ -348,9 +418,11 @@ class MLP(nn.Module):
             if i % self.skip_layer == 0 and i > 0:
               x = jnp.concatenate([x, inputs], axis=-1)
 
+      if raw_rgb is None:
+        raw_rgb = self.rgb_layer(x)
       # With diffuse/specular split, `rgb` is the linear specular color.
       rgb = self.rgb_activation(
-          self.rgb_premultiplier * self.rgb_layer(x) + self.rgb_bias)
+          self.rgb_premultiplier * raw_rgb + self.rgb_bias)
 
       if self.use_diffuse_color:
         # Initialize linear diffuse near 0.25 so combined color starts ~0.5.

@@ -1,38 +1,53 @@
-"""Layer-fused trunk MLP (Pallas/TPU): forward + hand-derived backward.
+"""Layer-fused trunk MLPs (Pallas/TPU): forward + hand-derived backward.
 
-The flagship train step is activation-traffic bound: the profiler shows ~200
-XLA fusions per step, each re-reading [B*S, 256]-sized activations from HBM
-(~270 MB each at batch 4096 x 128 samples). This kernel runs an entire dense
-trunk (depth-N stack + periodic input-skip concat, reference
-internal/models.py:569-584), optionally the density head and the
-density-gradient chain (the inner reverse pass that yields Ref-NeRF's
-analytic normals, reference internal/models.py:601-611), per sample block
-with every activation resident in VMEM. The custom VJP recomputes
-activations in VMEM (flash-attention style) and emits all first- AND
-second-order parameter cotangents in one pass, so HBM traffic is just x, y,
-u, the cotangents, and the (small) weights.
+The flagship train step is activation-traffic bound: each XLA fusion
+re-reads [B*S, 256]-sized activations from HBM (~270 MB at batch 4096 x 128
+samples). These kernels run an entire dense trunk (depth-N stack + periodic
+input-skip concat, reference internal/models.py:569-584) per sample block
+with every intermediate resident in VMEM:
 
-Second-order math. With masks-as-constant (exactly what AD of relu yields,
-since relu'' = 0 a.e.):
+- **Segmented input**: the trunk input arrives as separate tensors
+  (bottleneck / directional encoding / n.v, or the sin/cos halves of the
+  IPE); the first layer's and each skip layer's weights are row-split per
+  segment, so the XLA-side concatenate (and its pad+maximum transpose) never
+  materializes.
+- **In-kernel IPE** (`encode` mode): the kernel receives the scaled lifted
+  means/vars and computes x = [exp(-v/2)sin(m) | exp(-v/2)cos(m)] itself
+  (reference internal/coord.py integrated_pos_enc), plus the density
+  gradient with respect to m. Sample positions are stop-gradient in the
+  model (resampling detaches sdist), so m/v carry no cotangents.
+- **In-kernel heads**: the density head, an f32 head block (grad_pred /
+  roughness / diffuse / tint / specular-density, or the dir trunk's rgb
+  head), and a compute-dtype head block (the bottleneck) are evaluated on
+  the final feature vector inside the kernel, so the 256-wide features
+  never hit HBM at all.
+- **Density-gradient chain** (`density_grad`): the inner reverse pass that
+  yields Ref-NeRF's analytic normals (reference internal/models.py:601-611)
+  runs in the same kernel.
 
-    u  =  grad_x sigma  =  Wa_0^T D_0 Wa_1^T D_1 ... Wa_L^T w_d  (+ skip terms)
+The custom VJP recomputes activations in VMEM (flash-attention style) and
+emits all first- AND second-order parameter cotangents in one pass.
 
-where D_i = diag(relu'(z_i)). Given a cotangent u_bar on u, define the
-forward tangent chain p (a JVP of the trunk at tangent u_bar):
+Second-order math. With relu masks constant (exactly what AD yields, since
+relu'' = 0 a.e.):
 
-    p_in_0 = u_bar;   p_out_i = D_i (Wa_i p_in_i  [+ Wb_i u_bar at skips])
+    u = grad_m sigma = E' . (W0^T D_0 ... WL^T w_d  (+ skip terms))
 
-and let q_i be the inner-chain gradient at layer i's output (s_i = D_i q_i).
-Then the only non-zero second-order cotangents are
+where D_i = diag(relu'(z_i)) and E' is the (diagonal, m-independent for
+parameter purposes) encoding Jacobian. Given a cotangent u_bar, inject the
+tangent t = E'^T u_bar at every input-consuming layer and run the forward
+tangent chain p (p_out_i = D_i (Wa_i p_in_i + Wb_i t at skips)); with s_i
+the inner-chain cotangents (s_i = D_i q_i), the only non-zero second-order
+cotangents are
 
-    dWa_i += p_in_i^T s_i,    dWb_k += u_bar^T s_k,    dw_d += sum(p_out_L)
+    dWa_i += p_in_i^T s_i,   dWb_k += t^T s_k,   dw_d += sum(p_out_L)
 
-with no contribution to biases or x. tests/test_fused_mlp.py asserts
-equality against jax.grad-of-jax.grad of the plain jnp formulation.
+with no contribution to biases. tests/test_fused_mlp.py asserts equality
+against jax.grad-of-jax.grad of the plain jnp formulation.
 
-Canonical layout: all matmuls are (block, 128k) x (128k, width). The skip
-concat is split into two matmuls (Wa over the running activation, Wb over
-the trunk input) so every contraction dim stays a multiple of 128.
+v5e Mosaic quirks worked around here: no bf16 vector compares and broken i1
+relayouts (relu' masks are sign() products); explicit lane padding is
+avoided (Mosaic masks partial lane tiles internally).
 """
 
 from __future__ import annotations
@@ -55,12 +70,15 @@ class TrunkCfg(NamedTuple):
   """Static kernel configuration (hashable; used as a cache key)."""
   depth: int
   width: int
-  fin: int          # true input feature dim
-  fpad: int         # padded input feature dim (lane-aligned)
-  skip_inputs: Tuple[int, ...]  # layer indices whose input is [act, x]
+  seg_dims: Tuple[int, ...]  # input segment widths (encode: (F, F))
+  skip_inputs: Tuple[int, ...]  # layer indices whose input is [act, segs]
+  encode: bool      # inputs are (m, v); segments are the IPE sin/cos halves
   density: bool     # compute sigma = y . w_d (f32 head)
-  density_grad: bool  # also compute u = d sigma / d x (inner reverse chain)
-  needs_dx: bool    # backward emits d loss / d x
+  density_grad: bool  # also emit u = d sigma / d m (encode mode only)
+  h_f32: int        # f32 head block output width (0 = none)
+  h_cdt: int        # compute-dtype head block output width (0 = none)
+  out_y: bool       # emit the final feature vector
+  needs_dx: bool    # backward emits per-segment d loss / d segment
   cdt: str          # 'float32' | 'bfloat16' trunk compute dtype
   block: int
   interpret: bool
@@ -91,154 +109,292 @@ def _mask(a):
   return jnp.sign(a.astype(jnp.float32)).astype(a.dtype)
 
 
-def _fwd_kernel(cfg: TrunkCfg, *refs):
-  """Forward: x, was[L], wbs[S], bs, (wdT) -> y, (sig), (u)."""
-  L, S = cfg.depth, len(cfg.skip_inputs)
-  cdt = jnp.dtype(cfg.cdt)
-  i = 0
-  x_ref = refs[i]; i += 1
-  was = refs[i:i + L]; i += L
-  wbs = refs[i:i + S]; i += S
-  bs_ref = refs[i]; i += 1
-  wd_ref = None
-  if cfg.density:
-    wd_ref = refs[i]; i += 1
-  y_ref = refs[i]; i += 1
-  sig_ref = refs[i] if cfg.density else None
-  i += int(cfg.density)
-  u_ref = refs[i] if cfg.density_grad else None
+def _f32(a):
+  return a.astype(jnp.float32)
 
-  x = x_ref[:].astype(cdt)
+
+# Width-1 segments (the n.v scalar) are outer products, not matmuls; route
+# them through the VPU in f32 (numerically identical to an f32-accumulated
+# single-product dot).
+
+def _seg_dot(a, w):
+  """(blk, d) @ (d, W) -> f32 (blk, W)."""
+  if w.shape[0] == 1:
+    return _f32(a) * _f32(w[0:1, :])
+  return _dot(a, w, ((1,), (0,)))
+
+
+def _seg_dot_t(s, w):
+  """(blk, W) @ (d, W)^T -> f32 (blk, d)."""
+  if w.shape[0] == 1:
+    return jnp.sum(_f32(s) * _f32(w[0:1, :]), axis=-1, keepdims=True)
+  return _dot(s, w, ((1,), (1,)))
+
+
+def _seg_outer(seg, zeta):
+  """(blk, d)^T @ (blk, W) -> f32 (d, W)."""
+  if seg.shape[-1] == 1:
+    return jnp.sum(_f32(seg) * _f32(zeta), axis=0, keepdims=True)
+  return _dot(seg, zeta, ((0,), (0,)))
+
+
+class _Refs:
+  """Positional-ref parser shared by the fwd and bwd kernels."""
+
+  def __init__(self, cfg: TrunkCfg, refs):
+    self.cfg = cfg
+    self._refs = refs
+    self._i = 0
+
+  def take(self, n=None):
+    if n is None:
+      r = self._refs[self._i]
+      self._i += 1
+      return r
+    r = self._refs[self._i:self._i + n]
+    self._i += n
+    return r
+
+
+def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
+  """Input refs in canonical order; returns a dict of refs."""
+  L, S, G = cfg.depth, len(cfg.skip_inputs), len(cfg.seg_dims)
+  d = {}
+  if cfg.encode:
+    d['m'] = rr.take()
+    d['v'] = rr.take()
+  else:
+    d['segs'] = rr.take(G)
+  d['w0s'] = rr.take(G)        # layer-0 weights, one per segment
+  d['was'] = rr.take(L - 1)    # layers 1..L-1, activation part
+  d['wbs'] = rr.take(S * G)    # skip layers x segments
+  d['bs'] = rr.take()          # (L, width)
+  if cfg.density:
+    d['wd'] = rr.take()        # (1, width) f32
+  if cfg.h_f32:
+    d['wh'] = rr.take()        # (width, h_f32) f32
+    d['bh'] = rr.take()        # (1, h_f32) f32
+  if cfg.h_cdt:
+    d['wc'] = rr.take()        # (width, h_cdt) cdt
+    d['bc'] = rr.take()        # (1, h_cdt) cdt
+  return d
+
+
+def _segments(cfg: TrunkCfg, d, cdt):
+  """Segment values (cdt) plus encode-mode trig intermediates (f32)."""
+  if not cfg.encode:
+    return [s[:].astype(cdt) for s in d['segs']], None
+  m = d['m'][:]
+  e = jnp.exp(-0.5 * d['v'][:])
+  sinm, cosm = jnp.sin(m), jnp.cos(m)
+  xs = (e * sinm).astype(cdt)
+  xc = (e * cosm).astype(cdt)
+  return [xs, xc], (e, sinm, cosm)
+
+
+def _forward_trunk(cfg: TrunkCfg, d, segs, cdt):
+  """Run the trunk; returns the per-layer activation list."""
+  L = cfg.depth
   skip_ix = {l: k for k, l in enumerate(cfg.skip_inputs)}
+  G = len(cfg.seg_dims)
   acts = []
-  h = x
+  h = None
   for l in range(L):
-    hb = _dot(h, was[l][:], ((1,), (0,)))
-    if l in skip_ix:
-      hb = hb + _dot(x, wbs[skip_ix[l]][:], ((1,), (0,)))
-    z = hb.astype(cdt) + bs_ref[l:l + 1, :].astype(cdt)
+    if l == 0:
+      hb = _seg_dot(segs[0], d['w0s'][0][:])
+      for j in range(1, G):
+        hb = hb + _seg_dot(segs[j], d['w0s'][j][:])
+    else:
+      hb = _dot(h, d['was'][l - 1][:], ((1,), (0,)))
+      if l in skip_ix:
+        for j in range(G):
+          hb = hb + _seg_dot(segs[j], d['wbs'][skip_ix[l] * G + j][:])
+    z = hb.astype(cdt) + d['bs'][l:l + 1, :].astype(cdt)
     h = jnp.maximum(z, jnp.zeros_like(z))
     acts.append(h)
-  y_ref[:] = h
+  return acts
 
-  if cfg.density:
-    wd = wd_ref[:]  # (1, width) f32
-    y32 = h.astype(jnp.float32)
-    sig_ref[:] = jnp.sum(y32 * wd, axis=-1, keepdims=True)
 
-  if cfg.density_grad:
-    blk = x.shape[0]
-    u32 = jnp.zeros((blk, cfg.fpad), jnp.float32)
-    q = jnp.broadcast_to(wd_ref[:], (blk, cfg.width)).astype(cdt)
-    for l in reversed(range(L)):
-      s = _mask(acts[l]) * q
-      back = _dot(s, was[l][:], ((1,), (1,)))  # f32 (blk, in_dim)
+def _inner_chain(cfg: TrunkCfg, d, acts, cdt, keep=False):
+  """The density-gradient reverse chain; returns (u_segments, s_list)."""
+  L, G = cfg.depth, len(cfg.seg_dims)
+  skip_ix = {l: k for k, l in enumerate(cfg.skip_inputs)}
+  blk = acts[0].shape[0]
+  us = [jnp.zeros((blk, sd), jnp.float32) for sd in cfg.seg_dims]
+  ss = [None] * L
+  q = jnp.broadcast_to(d['wd'][:], (blk, cfg.width)).astype(cdt)
+  for l in reversed(range(L)):
+    s = _mask(acts[l]) * q
+    if keep:
+      ss[l] = s
+    if l == 0:
+      for j in range(G):
+        us[j] = us[j] + _seg_dot_t(s, d['w0s'][j][:])
+    else:
       if l in skip_ix:
-        u32 = u32 + _dot(s, wbs[skip_ix[l]][:], ((1,), (1,)))
-        q = back.astype(cdt)
-      elif l == 0:
-        u32 = u32 + back
-      else:
-        q = back.astype(cdt)
-    u_ref[:] = u32
+        for j in range(G):
+          us[j] = us[j] + _seg_dot_t(s, d['wbs'][skip_ix[l] * G + j][:])
+      q = _dot(s, d['was'][l - 1][:], ((1,), (1,))).astype(cdt)
+  return us, ss
+
+
+def _fwd_kernel(cfg: TrunkCfg, *refs):
+  cdt = jnp.dtype(cfg.cdt)
+  rr = _Refs(cfg, refs)
+  d = _parse_inputs(cfg, rr)
+  # Outputs, canonical order.
+  y_ref = rr.take() if cfg.out_y else None
+  sig_ref = rr.take() if cfg.density else None
+  h_ref = rr.take() if cfg.h_f32 else None
+  c_ref = rr.take() if cfg.h_cdt else None
+  u_refs = rr.take(1 if cfg.encode else len(cfg.seg_dims)) \
+      if cfg.density_grad else ()
+
+  segs, trig = _segments(cfg, d, cdt)
+  acts = _forward_trunk(cfg, d, segs, cdt)
+  y = acts[-1]
+  if cfg.out_y:
+    y_ref[:] = y
+  y32 = y.astype(jnp.float32)
+  if cfg.density:
+    sig_ref[:] = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
+  if cfg.h_f32:
+    h_ref[:] = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
+  if cfg.h_cdt:
+    c_ref[:] = (_dot(y, d['wc'][:], ((1,), (0,))).astype(cdt)
+                + d['bc'][:].astype(cdt))
+  if cfg.density_grad:
+    us, _ = _inner_chain(cfg, d, acts, cdt)
+    if cfg.encode:
+      e, sinm, cosm = trig
+      u_refs[0][:] = e * (cosm * us[0] - sinm * us[1])
+    else:
+      for j, u in enumerate(us):
+        u_refs[j][:] = u
 
 
 def _bwd_kernel(cfg: TrunkCfg, *refs):
-  """Backward: x, was, wbs, bs, (wdT), ybar, (sbar), (ubar)
-  -> dwas[L], dwbs[S], dbs, (dwdT), (dx)."""
-  L, S = cfg.depth, len(cfg.skip_inputs)
+  L, S, G = cfg.depth, len(cfg.skip_inputs), len(cfg.seg_dims)
   cdt = jnp.dtype(cfg.cdt)
-  i = 0
-  x_ref = refs[i]; i += 1
-  was = refs[i:i + L]; i += L
-  wbs = refs[i:i + S]; i += S
-  bs_ref = refs[i]; i += 1
-  wd_ref = None
-  if cfg.density:
-    wd_ref = refs[i]; i += 1
-  ybar_ref = refs[i]; i += 1
-  sbar_ref = refs[i] if cfg.density else None
-  i += int(cfg.density)
-  ubar_ref = refs[i] if cfg.density_grad else None
-  i += int(cfg.density_grad)
-  dwas = refs[i:i + L]; i += L
-  dwbs = refs[i:i + S]; i += S
-  dbs_ref = refs[i]; i += 1
-  dwd_ref = None
-  if cfg.density:
-    dwd_ref = refs[i]; i += 1
-  dx_ref = refs[i] if cfg.needs_dx else None
+  skip_ix = {l: k for k, l in enumerate(cfg.skip_inputs)}
+  rr = _Refs(cfg, refs)
+  d = _parse_inputs(cfg, rr)
+  # Cotangent inputs (canonical fwd-output order).
+  ybar_ref = rr.take() if cfg.out_y else None
+  sbar_ref = rr.take() if cfg.density else None
+  hbar_ref = rr.take() if cfg.h_f32 else None
+  cbar_ref = rr.take() if cfg.h_cdt else None
+  ubar_refs = rr.take(1 if cfg.encode else G) if cfg.density_grad else ()
+  # Gradient outputs.
+  dw0s = rr.take(G)
+  dwas = rr.take(L - 1)
+  dwbs = rr.take(S * G)
+  dbs_ref = rr.take()
+  dwd_ref = rr.take() if cfg.density else None
+  dwh_ref = rr.take() if cfg.h_f32 else None
+  dbh_ref = rr.take() if cfg.h_f32 else None
+  dwc_ref = rr.take() if cfg.h_cdt else None
+  dbc_ref = rr.take() if cfg.h_cdt else None
+  dx_refs = rr.take(G) if cfg.needs_dx else ()
 
   @pl.when(pl.program_id(0) == 0)
   def _init():
-    for r in (*dwas, *dwbs, dbs_ref) + ((dwd_ref,) if cfg.density else ()):
+    accs = (*dw0s, *dwas, *dwbs, dbs_ref)
+    for r in accs + tuple(
+        r for r in (dwd_ref, dwh_ref, dbh_ref, dwc_ref, dbc_ref)
+        if r is not None):
       r[:] = jnp.zeros_like(r)
 
-  skip_ix = {l: k for k, l in enumerate(cfg.skip_inputs)}
-  x = x_ref[:].astype(cdt)
-  blk = x.shape[0]
-
-  # 1. Recompute the forward activations (VMEM-resident).
-  acts = []
-  h = x
-  for l in range(L):
-    hb = _dot(h, was[l][:], ((1,), (0,)))
-    if l in skip_ix:
-      hb = hb + _dot(x, wbs[skip_ix[l]][:], ((1,), (0,)))
-    z = hb.astype(cdt) + bs_ref[l:l + 1, :].astype(cdt)
-    h = jnp.maximum(z, jnp.zeros_like(z))
-    acts.append(h)
-
-  # 2. Recompute the inner chain s_i = D_i q_i (second-order needs them).
-  ss = [None] * L
+  # 1. Recompute forward (VMEM-resident), incl. the inner chain's s_i.
+  segs, trig = _segments(cfg, d, cdt)
+  acts = _forward_trunk(cfg, d, segs, cdt)
+  y = acts[-1]
+  y32 = y.astype(jnp.float32)
+  ss = None
   if cfg.density_grad:
-    q = jnp.broadcast_to(wd_ref[:], (blk, cfg.width)).astype(cdt)
-    for l in reversed(range(L)):
-      s = _mask(acts[l]) * q
-      ss[l] = s
-      if l > 0:
-        q = _dot(s, was[l][:], ((1,), (1,))).astype(cdt)
+    _, ss = _inner_chain(cfg, d, acts, cdt, keep=True)
 
-  # 3. First-order reverse pass from (ybar, sbar).
-  g = ybar_ref[:].astype(cdt)
+  # 2. Head backward: cotangent on y, head weight grads.
+  g32 = None  # f32 contributions to y's cotangent
+  g = jnp.zeros_like(y)
+  if cfg.out_y:
+    g = g + ybar_ref[:].astype(cdt)
   if cfg.density:
-    sbar = sbar_ref[:]  # (blk, 1) f32
-    g = g + (sbar * wd_ref[:]).astype(cdt)
-    # dw_d (first-order): sum_n sbar_n * y_n.
-    y32 = acts[-1].astype(jnp.float32)
+    sbar = sbar_ref[:]
+    g32 = sbar * d['wd'][:]
     dwd_ref[:] += _dot(sbar, y32, ((0,), (0,)))
-  dx32 = jnp.zeros((blk, cfg.fpad), jnp.float32) if cfg.needs_dx else None
+  if cfg.h_f32:
+    hbar = hbar_ref[:]
+    back = _dot(hbar, d['wh'][:], ((1,), (1,)))
+    g32 = back if g32 is None else g32 + back
+    dwh_ref[:] += _dot(y32, hbar, ((0,), (0,)))
+    dbh_ref[:] += jnp.sum(hbar, axis=0, keepdims=True)
+  if cfg.h_cdt:
+    cbar = cbar_ref[:].astype(cdt)
+    g = g + _dot(cbar, d['wc'][:], ((1,), (1,))).astype(cdt)
+    dwc_ref[:] += _dot(y, cbar, ((0,), (0,)))
+    dbc_ref[:] += jnp.sum(cbar.astype(jnp.float32), axis=0, keepdims=True)
+  if g32 is not None:
+    g = g + g32.astype(cdt)
+
+  # 3. First-order reverse through the trunk.
+  dxs = [jnp.zeros((y.shape[0], sd), jnp.float32) for sd in cfg.seg_dims] \
+      if cfg.needs_dx else None
   for l in reversed(range(L)):
     zeta = _mask(acts[l]) * g
-    inp = x if l == 0 else acts[l - 1]
-    dwas[l][:] += _dot(inp, zeta, ((0,), (0,)))
-    if l in skip_ix:
-      dwbs[skip_ix[l]][:] += _dot(x, zeta, ((0,), (0,)))
+    inp = acts[l - 1] if l > 0 else None
+    if l == 0:
+      for j in range(G):
+        dw0s[j][:] += _seg_outer(segs[j], zeta)
+    else:
+      dwas[l - 1][:] += _dot(inp, zeta, ((0,), (0,)))
+      if l in skip_ix:
+        for j in range(G):
+          dwbs[skip_ix[l] * G + j][:] += _seg_outer(segs[j], zeta)
     dbs_ref[l:l + 1, :] += jnp.sum(
         zeta, axis=0, keepdims=True).astype(jnp.float32)
-    back = _dot(zeta, was[l][:], ((1,), (1,)))
-    if l in skip_ix and cfg.needs_dx:
-      dx32 = dx32 + _dot(zeta, wbs[skip_ix[l]][:], ((1,), (1,)))
     if l == 0:
       if cfg.needs_dx:
-        dx32 = dx32 + back
+        for j in range(G):
+          dxs[j] = dxs[j] + _seg_dot_t(zeta, d['w0s'][j][:])
     else:
-      g = back.astype(cdt)
+      if l in skip_ix and cfg.needs_dx:
+        for j in range(G):
+          dxs[j] = dxs[j] + _seg_dot_t(zeta, d['wbs'][skip_ix[l] * G + j][:])
+      g = _dot(zeta, d['was'][l - 1][:], ((1,), (1,))).astype(cdt)
   if cfg.needs_dx:
-    dx_ref[:] = dx32
+    for j in range(G):
+      dx_refs[j][:] = dxs[j]
 
-  # 4. Second-order pass from ubar: forward tangent chain p.
+  # 4. Second-order pass from u_bar: forward tangent chain p.
   if cfg.density_grad:
-    ubar = ubar_ref[:].astype(cdt)
-    p = ubar
+    if cfg.encode:
+      e, sinm, cosm = trig
+      ub = ubar_refs[0][:]
+      ts = [(ub * e * cosm).astype(cdt), (-(ub * e * sinm)).astype(cdt)]
+    else:
+      ts = [ubar_refs[j][:].astype(cdt) for j in range(G)]
+    p = None
     for l in range(L):
-      t = _dot(p, was[l][:], ((1,), (0,)))
-      dwas[l][:] += _dot(p, ss[l], ((0,), (0,)))
-      if l in skip_ix:
-        t = t + _dot(ubar, wbs[skip_ix[l]][:], ((1,), (0,)))
-        dwbs[skip_ix[l]][:] += _dot(ubar, ss[l], ((0,), (0,)))
+      if l == 0:
+        t = _seg_dot(ts[0], d['w0s'][0][:])
+        for j in range(1, G):
+          t = t + _seg_dot(ts[j], d['w0s'][j][:])
+        for j in range(G):
+          dw0s[j][:] += _seg_outer(ts[j], ss[l])
+      else:
+        t = _dot(p, d['was'][l - 1][:], ((1,), (0,)))
+        dwas[l - 1][:] += _dot(p, ss[l], ((0,), (0,)))
+        if l in skip_ix:
+          for j in range(G):
+            t = t + _seg_dot(ts[j], d['wbs'][skip_ix[l] * G + j][:])
+            dwbs[skip_ix[l] * G + j][:] += _seg_outer(ts[j], ss[l])
       p = _mask(acts[l]) * t.astype(cdt)
     dwd_ref[:] += jnp.sum(p, axis=0, keepdims=True).astype(jnp.float32)
+
+
+def _row_spec(blk, ncol):
+  return pl.BlockSpec((blk, ncol), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
 def _full_spec(shape):
@@ -246,228 +402,429 @@ def _full_spec(shape):
                       memory_space=pltpu.VMEM)
 
 
-def _row_spec(blk, ncol):
-  return pl.BlockSpec((blk, ncol), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _canon_shapes(cfg: TrunkCfg):
+  """(wa-shapes incl. layer 0 splits, wb-shapes) of the canonical params."""
+  W = cfg.width
+  w0 = [(sd, W) for sd in cfg.seg_dims]
+  wa = [(W, W)] * (cfg.depth - 1)
+  wb = [(sd, W) for _ in cfg.skip_inputs for sd in cfg.seg_dims]
+  return w0, wa, wb
 
 
 @functools.lru_cache(maxsize=None)
 def _make_op(cfg: TrunkCfg):
   """Builds the custom-VJP fused trunk for one static configuration.
 
-  Canonical signature (all f32, shapes pre-padded):
-    op(x [B, fpad], was tuple, wbs tuple, bs [L, width], wdT [1, width]|None)
-  -> (y [B, width] in cdt, sig [B, 1] f32?, u [B, fpad] f32?)
+  Canonical signature (all f32 params, pre-split; x as segment tuple or
+  (m, v) in encode mode):
+    op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc) -> tuple of outputs
   """
-  L, S, W = cfg.depth, len(cfg.skip_inputs), cfg.width
+  L, S, G, W = (cfg.depth, len(cfg.skip_inputs), len(cfg.seg_dims),
+                cfg.width)
   cdt = jnp.dtype(cfg.cdt)
-
-  wa_shapes = [(cfg.fpad if l == 0 else W, W) for l in range(L)]
-  wb_shapes = [(cfg.fpad, W)] * S
+  w0_sh, wa_sh, wb_sh = _canon_shapes(cfg)
+  n_u = (1 if cfg.encode else G) if cfg.density_grad else 0
+  u_dims = ((cfg.seg_dims[0],) if cfg.encode else cfg.seg_dims) \
+      if cfg.density_grad else ()
 
   def _cast(t):
     return jax.tree.map(lambda a: a.astype(cdt), t)
 
-  def _fwd(x, was, wbs, bs, wdT):
-    b = x.shape[0]
+  def _wrefs(d_args):
+    """Weight arg values + specs, canonical order, cast appropriately."""
+    w0s, was, wbs, bs, wd, wh, bh, wc, bc = d_args
+    args = [*_cast(w0s), *_cast(was), *_cast(wbs), _cast(bs)]
+    specs = ([_full_spec(s) for s in w0_sh] + [_full_spec(s) for s in wa_sh]
+             + [_full_spec(s) for s in wb_sh] + [_full_spec((L, W))])
+    if cfg.density:
+      args.append(wd); specs.append(_full_spec((1, W)))
+    if cfg.h_f32:
+      args += [wh, bh]
+      specs += [_full_spec((W, cfg.h_f32)), _full_spec((1, cfg.h_f32))]
+    if cfg.h_cdt:
+      args += [_cast(wc), _cast(bc)]
+      specs += [_full_spec((W, cfg.h_cdt)), _full_spec((1, cfg.h_cdt))]
+    return args, specs
+
+  def _xspecs(b):
+    if cfg.encode:
+      return [_row_spec(cfg.block, cfg.seg_dims[0])] * 2
+    return [_row_spec(cfg.block, sd) for sd in cfg.seg_dims]
+
+  def _flops(b, passes):
+    per = 2 * b * (sum(np.prod(s) for s in w0_sh + wa_sh + wb_sh)
+                   + W * (cfg.h_f32 + cfg.h_cdt + int(cfg.density)))
+    return int(per * passes)
+
+  def _fwd(xs, *wargs):
+    b = xs[0].shape[0]
     grid = (b // cfg.block,)
-    out_shape = [jax.ShapeDtypeStruct((b, W), cdt)]
-    out_specs = [_row_spec(cfg.block, W)]
+    out_shape, out_specs = [], []
+    if cfg.out_y:
+      out_shape.append(jax.ShapeDtypeStruct((b, W), cdt))
+      out_specs.append(_row_spec(cfg.block, W))
     if cfg.density:
       out_shape.append(jax.ShapeDtypeStruct((b, 1), jnp.float32))
       out_specs.append(_row_spec(cfg.block, 1))
-    if cfg.density_grad:
-      out_shape.append(jax.ShapeDtypeStruct((b, cfg.fpad), jnp.float32))
-      out_specs.append(_row_spec(cfg.block, cfg.fpad))
-    in_specs = ([_row_spec(cfg.block, cfg.fpad)]
-                + [_full_spec(s) for s in wa_shapes]
-                + [_full_spec(s) for s in wb_shapes]
-                + [_full_spec((L, W))]
-                + ([_full_spec((1, W))] if cfg.density else []))
-    args = (x, *_cast(was), *_cast(wbs), _cast(bs)) + (
-        (wdT,) if cfg.density else ())
-    flops_pass = 2 * b * sum(np.prod(s) for s in wa_shapes + wb_shapes)
+    if cfg.h_f32:
+      out_shape.append(jax.ShapeDtypeStruct((b, cfg.h_f32), jnp.float32))
+      out_specs.append(_row_spec(cfg.block, cfg.h_f32))
+    if cfg.h_cdt:
+      out_shape.append(jax.ShapeDtypeStruct((b, cfg.h_cdt), cdt))
+      out_specs.append(_row_spec(cfg.block, cfg.h_cdt))
+    for ud in u_dims:
+      out_shape.append(jax.ShapeDtypeStruct((b, ud), jnp.float32))
+      out_specs.append(_row_spec(cfg.block, ud))
+    wvals, wspecs = _wrefs(wargs)
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
-        in_specs=in_specs,
+        in_specs=_xspecs(b) + wspecs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=cfg.interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(flops_pass * (2 if cfg.density_grad else 1)),
-            bytes_accessed=int(x.size * 4 * 3), transcendentals=0),
-    )(*args)
+            flops=_flops(b, 2 if cfg.density_grad else 1),
+            bytes_accessed=int(sum(x.size * 4 for x in xs) * 2),
+            transcendentals=int(3 * b * cfg.seg_dims[0]) if cfg.encode
+            else 0),
+    )(*xs, *wvals)
     return tuple(outs)
 
-  def _bwd(x, was, wbs, bs, wdT, ybar, sbar, ubar):
-    b = x.shape[0]
+  def _bwd(xs, wargs, cots):
+    b = xs[0].shape[0]
     grid = (b // cfg.block,)
-    out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32) for s in wa_shapes]
-                 + [jax.ShapeDtypeStruct(s, jnp.float32) for s in wb_shapes]
+    out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32)
+                  for s in w0_sh + wa_sh + wb_sh]
                  + [jax.ShapeDtypeStruct((L, W), jnp.float32)])
-    out_specs = ([_full_spec(s) for s in wa_shapes]
-                 + [_full_spec(s) for s in wb_shapes]
+    out_specs = ([_full_spec(s) for s in w0_sh + wa_sh + wb_sh]
                  + [_full_spec((L, W))])
     if cfg.density:
       out_shape.append(jax.ShapeDtypeStruct((1, W), jnp.float32))
       out_specs.append(_full_spec((1, W)))
+    if cfg.h_f32:
+      out_shape += [jax.ShapeDtypeStruct((W, cfg.h_f32), jnp.float32),
+                    jax.ShapeDtypeStruct((1, cfg.h_f32), jnp.float32)]
+      out_specs += [_full_spec((W, cfg.h_f32)), _full_spec((1, cfg.h_f32))]
+    if cfg.h_cdt:
+      out_shape += [jax.ShapeDtypeStruct((W, cfg.h_cdt), jnp.float32),
+                    jax.ShapeDtypeStruct((1, cfg.h_cdt), jnp.float32)]
+      out_specs += [_full_spec((W, cfg.h_cdt)), _full_spec((1, cfg.h_cdt))]
     if cfg.needs_dx:
-      out_shape.append(jax.ShapeDtypeStruct((b, cfg.fpad), jnp.float32))
-      out_specs.append(_row_spec(cfg.block, cfg.fpad))
-    in_specs = ([_row_spec(cfg.block, cfg.fpad)]
-                + [_full_spec(s) for s in wa_shapes]
-                + [_full_spec(s) for s in wb_shapes]
-                + [_full_spec((L, W))]
-                + ([_full_spec((1, W))] if cfg.density else [])
-                + [_row_spec(cfg.block, W)]
-                + ([_row_spec(cfg.block, 1)] if cfg.density else [])
-                + ([_row_spec(cfg.block, cfg.fpad)]
-                   if cfg.density_grad else []))
-    args = ((x, *_cast(was), *_cast(wbs), _cast(bs))
-            + ((wdT,) if cfg.density else ())
-            + (ybar,)
-            + ((sbar,) if cfg.density else ())
-            + ((ubar,) if cfg.density_grad else ()))
-    flops_pass = 2 * b * sum(np.prod(s) for s in wa_shapes + wb_shapes)
+      for sd in cfg.seg_dims:
+        out_shape.append(jax.ShapeDtypeStruct((b, sd), jnp.float32))
+        out_specs.append(_row_spec(cfg.block, sd))
+    wvals, wspecs = _wrefs(wargs)
+    cot_specs = []
+    if cfg.out_y:
+      cot_specs.append(_row_spec(cfg.block, W))
+    if cfg.density:
+      cot_specs.append(_row_spec(cfg.block, 1))
+    if cfg.h_f32:
+      cot_specs.append(_row_spec(cfg.block, cfg.h_f32))
+    if cfg.h_cdt:
+      cot_specs.append(_row_spec(cfg.block, cfg.h_cdt))
+    for ud in u_dims:
+      cot_specs.append(_row_spec(cfg.block, ud))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
-        in_specs=in_specs,
+        in_specs=_xspecs(b) + wspecs + cot_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=cfg.interpret,
         cost_estimate=pl.CostEstimate(
-            flops=int(flops_pass * (6 if cfg.density_grad else 4)),
-            bytes_accessed=int(x.size * 4 * 4), transcendentals=0),
-    )(*args)
+            flops=_flops(b, 6 if cfg.density_grad else 4),
+            bytes_accessed=int(sum(x.size * 4 for x in xs) * 3),
+            transcendentals=int(3 * b * cfg.seg_dims[0]) if cfg.encode
+            else 0),
+    )(*xs, *wvals, *cots)
     i = 0
-    dwas = tuple(outs[i:i + L]); i += L
-    dwbs = tuple(outs[i:i + S]); i += S
+    dw0s = tuple(outs[i:i + G]); i += G
+    dwas = tuple(outs[i:i + L - 1]); i += L - 1
+    dwbs = tuple(outs[i:i + S * G]); i += S * G
     dbs = outs[i]; i += 1
-    dwdT = None
+    dwd = dwh = dbh = dwc = dbc = None
     if cfg.density:
-      dwdT = outs[i]; i += 1
-    dx = outs[i] if cfg.needs_dx else jnp.zeros_like(x)
-    return dx, dwas, dwbs, dbs, dwdT
+      dwd = outs[i]; i += 1
+    if cfg.h_f32:
+      dwh = outs[i]; dbh = outs[i + 1]; i += 2
+    if cfg.h_cdt:
+      dwc = outs[i]; dbc = outs[i + 1]; i += 2
+    dxs = tuple(outs[i:i + G]) if cfg.needs_dx \
+        else tuple(jnp.zeros_like(x) for x in xs)
+    return dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc)
 
   @jax.custom_vjp
-  def op(x, was, wbs, bs, wdT):
-    return _fwd(x, was, wbs, bs, wdT)
+  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc):
+    return _fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc)
 
-  def op_fwd(x, was, wbs, bs, wdT):
-    return _fwd(x, was, wbs, bs, wdT), (x, was, wbs, bs, wdT)
+  def op_fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc):
+    args = (xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc)
+    return _fwd(*args), args
 
   def op_bwd(res, cots):
-    x, was, wbs, bs, wdT = res
-    cots = list(cots)
-    ybar = cots.pop(0)
-    sbar = cots.pop(0) if cfg.density else None
-    ubar = cots.pop(0) if cfg.density_grad else None
-    dx, dwas, dwbs, dbs, dwdT = _bwd(x, was, wbs, bs, wdT,
-                                     ybar, sbar, ubar)
-    return dx, dwas, dwbs, dbs, dwdT
+    xs, *wargs = res
+    dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc) = _bwd(
+        xs, tuple(wargs), cots)
+    if cfg.encode:
+      # m and v are stop-gradient inputs (sampling detaches them).
+      dxs = (jnp.zeros_like(xs[0]), jnp.zeros_like(xs[1]))
+    zero = lambda prim, g: jax.tree.map(jnp.zeros_like, prim) \
+        if g is None else g
+    return (dxs, dw0s, dwas, dwbs, dbs,
+            zero(res[5], dwd), zero(res[6], dwh), zero(res[7], dbh),
+            zero(res[8], dwc), zero(res[9], dbc))
 
   op.defvjp(op_fwd, op_bwd)
   return op
 
 
-def reference_trunk(x, kernels, biases, wd=None, bd=None, *,
-                    skip_period=4, density_grad=False,
-                    compute_dtype='float32'):
-  """Pure-jnp mirror of the fused op, flax-Dense numerics (for tests).
+def _canonicalize(cfg: TrunkCfg, kernels, biases):
+  """Split flax-shaped trunk kernels into canonical per-segment blocks."""
+  W = cfg.width
+  bounds = np.cumsum((0,) + cfg.seg_dims)
+  fin = int(bounds[-1])
+  w0s, was, wbs = [], [], []
+  for l, w in enumerate(kernels):
+    w = w.astype(jnp.float32)
+    if l == 0:
+      for j in range(len(cfg.seg_dims)):
+        w0s.append(w[bounds[j]:bounds[j + 1]])
+    elif l in cfg.skip_inputs:
+      was.append(w[:W])
+      for j in range(len(cfg.seg_dims)):
+        wbs.append(w[W + bounds[j]:W + bounds[j + 1]])
+    else:
+      if w.shape[0] != W:
+        raise ValueError(f'layer {l} expects in-dim {W}, got {w.shape}')
+      was.append(w)
+  bs = jnp.stack([b.astype(jnp.float32) for b in biases])
+  return tuple(w0s), tuple(was), tuple(wbs), bs
 
-  kernels[i]: (in_dim, width) with the skip layer's in_dim = width + fin.
-  Returns (y, sigma, u) / (y, sigma) / y depending on heads requested.
-  """
-  cdt = jnp.dtype(compute_dtype)
-  skips = skip_input_layers(len(kernels), skip_period)
 
-  def trunk_sigma(x0):
-    h = x0.astype(cdt)
-    for l, (w, b) in enumerate(zip(kernels, biases)):
-      if l in skips:
-        h = jnp.concatenate([h, x0.astype(cdt)], axis=-1)
-      h = (jnp.dot(h, w.astype(cdt)) + b.astype(cdt))
-      h = jnp.maximum(h, 0)
-    y = h
-    if wd is None:
-      return None, y
-    sig = jnp.dot(y.astype(jnp.float32), wd)[..., 0] + (
-        0.0 if bd is None else bd[0])
-    return sig, y
+def _prep_rows(arrs, n, block):
+  npad = _round_up(max(n, 1), block)
+  return tuple(
+      jnp.pad(a.reshape(n, a.shape[-1]).astype(jnp.float32),
+              ((0, npad - n), (0, 0)))
+      for a in arrs), npad
 
-  sig, y = trunk_sigma(x)
-  if wd is None:
-    return y
-  if not density_grad:
-    return y, sig
-  def ssum(x0):
-    s, y0 = trunk_sigma(x0)
-    return s.sum(), y0
-  u, _ = jax.grad(ssum, has_aux=True)(x)
-  return y, sig, u
+
+def _head(w, b=None):
+  """(kernel, bias) -> canonical ((1|in, out) f32) pair."""
+  if w is None:
+    return None, None
+  w = w.astype(jnp.float32)
+  b = jnp.zeros((1, w.shape[-1]), jnp.float32) if b is None \
+      else b.astype(jnp.float32).reshape(1, -1)
+  return w, b
 
 
 def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
                 skip_period=4, density_grad=False, needs_dx=False,
+                head_f32=None, head_cdt=None, out_y=None,
                 compute_dtype='float32', block=512, interpret=None):
-  """Fused trunk entry point on flax-shaped parameters.
+  """Fused trunk on flax-shaped parameters, segmented input.
 
   Args:
-    x: [..., fin] f32 input encoding.
-    kernels: list of layer kernels; the skip layer's shape is
-      (width + fin, width) with the activation rows first (concat order).
-    biases: list of (width,) biases.
-    wd, bd: optional density head (width, 1) kernel and (1,) bias; enables
-      the sigma output, and (with density_grad) the u = d sigma/d x output.
-    density_grad: compute the inner gradient chain (Ref-NeRF normals).
-    needs_dx: emit d loss / d x in the backward pass.
+    x: [..., fin] input, or a sequence of per-segment [..., d_j] inputs
+      whose concatenation is the trunk input (no XLA concat happens).
+    kernels: per-layer kernels; skip layers have shape (width + fin, width)
+      with the activation rows first (concat order).
+    biases: per-layer (width,) biases.
+    wd, bd: optional density head (width, 1) kernel / (1,) bias; enables
+      the sigma output and (with density_grad) u = d sigma/d x.
+    density_grad: compute the inner gradient chain (Ref-NeRF normals);
+      returns one u per input segment.
+    needs_dx: backward emits d loss/d segment for each segment.
+    head_f32: optional (wh, bh) evaluated as dot(y_f32, wh) + bh in-kernel.
+    head_cdt: optional (wc, bc) evaluated in compute dtype in-kernel.
+    out_y: emit the feature vector itself (default: True unless any head
+      or density output makes it redundant is requested explicitly).
     compute_dtype: trunk matmul dtype ('float32' | 'bfloat16').
     block: samples per VMEM block.
     interpret: force Pallas interpreter mode (defaults to CPU backend).
 
-  Returns:
-    y [..., width], and with a head (sigma [...], u [..., fin]).
+  Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u per segment],
+  or the single y array when only y is produced.
   """
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
+  segs = list(x) if isinstance(x, (list, tuple)) else [x]
+  seg_dims = tuple(int(s.shape[-1]) for s in segs)
   depth = len(kernels)
   width = kernels[-1].shape[-1]
-  fin = x.shape[-1]
-  fpad = _round_up(fin, 128)
-  skips = skip_input_layers(depth, skip_period)
-  cfg = TrunkCfg(depth=depth, width=width, fin=fin, fpad=fpad,
-                 skip_inputs=skips, density=wd is not None,
-                 density_grad=density_grad and wd is not None,
-                 needs_dx=needs_dx, cdt=compute_dtype, block=block,
-                 interpret=bool(interpret))
+  wh, bh = _head(*head_f32) if head_f32 else (None, None)
+  wc, bc = _head(*head_cdt) if head_cdt else (None, None)
+  if out_y is None:
+    out_y = True
+  cfg = TrunkCfg(
+      depth=depth, width=width, seg_dims=seg_dims,
+      skip_inputs=skip_input_layers(depth, skip_period),
+      encode=False, density=wd is not None,
+      density_grad=density_grad and wd is not None, needs_dx=needs_dx,
+      h_f32=0 if wh is None else wh.shape[-1],
+      h_cdt=0 if wc is None else wc.shape[-1],
+      out_y=out_y, cdt=compute_dtype, block=block,
+      interpret=bool(interpret))
 
-  lead = x.shape[:-1]
+  lead = segs[0].shape[:-1]
   n = int(np.prod(lead)) if lead else 1
-  npad = _round_up(max(n, 1), block)
-  xf = x.reshape(n, fin).astype(jnp.float32)
-  xf = jnp.pad(xf, ((0, npad - n), (0, fpad - fin)))
-
-  was, wbs = [], []
-  for l, w in enumerate(kernels):
-    w = w.astype(jnp.float32)
-    if l in skips:
-      was.append(w[:width])
-      wbs.append(jnp.pad(w[width:], ((0, fpad - fin), (0, 0))))
-    elif l == 0:
-      was.append(jnp.pad(w, ((0, fpad - fin), (0, 0))))
-    else:
-      was.append(w)
-  bs = jnp.stack([b.astype(jnp.float32) for b in biases])
+  xs, npad = _prep_rows(segs, n, block)
+  w0s, was, wbs, bs = _canonicalize(cfg, kernels, biases)
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
 
-  outs = _make_op(cfg)(xf, tuple(was), tuple(wbs), bs, wdT)
-  y = outs[0][:n].reshape(*lead, width)
+  outs = list(_make_op(cfg)(xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc))
+  res = []
+  if cfg.out_y:
+    res.append(outs.pop(0)[:n].reshape(*lead, width))
+  if cfg.density:
+    sig = outs.pop(0)[:n, 0].reshape(lead)
+    res.append(sig + (0.0 if bd is None else bd.astype(jnp.float32)[0]))
+  if cfg.h_f32:
+    res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_f32))
+  if cfg.h_cdt:
+    res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_cdt))
+  if cfg.density_grad:
+    for sd in seg_dims:
+      res.append(outs.pop(0)[:n].reshape(*lead, sd))
+  return res[0] if len(res) == 1 else tuple(res)
+
+
+def fused_encoded_trunk(m, v, kernels, biases, wd, bd=None, *,
+                        skip_period=4, density_grad=False,
+                        head_f32=None, head_cdt=None, out_y=False,
+                        compute_dtype='float32', block=512,
+                        interpret=None):
+  """Fused trunk with in-kernel IPE: x = [e*sin(m) | e*cos(m)], e=exp(-v/2).
+
+  `m`/`v` are the scaled lifted means/vars, [..., F] each (the trunk input
+  is 2F wide). They are stop-gradient (sampling detaches positions); with
+  density_grad the kernel returns u = d sigma/d m (the e*cos/e*sin-weighted
+  combination of the inner chain), [..., F].
+
+  Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u].
+  """
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  F = int(m.shape[-1])
+  depth = len(kernels)
+  width = kernels[-1].shape[-1]
+  wh, bh = _head(*head_f32) if head_f32 else (None, None)
+  wc, bc = _head(*head_cdt) if head_cdt else (None, None)
+  cfg = TrunkCfg(
+      depth=depth, width=width, seg_dims=(F, F),
+      skip_inputs=skip_input_layers(depth, skip_period),
+      encode=True, density=wd is not None,
+      density_grad=density_grad and wd is not None, needs_dx=False,
+      h_f32=0 if wh is None else wh.shape[-1],
+      h_cdt=0 if wc is None else wc.shape[-1],
+      out_y=out_y, cdt=compute_dtype, block=block,
+      interpret=bool(interpret))
+
+  lead = m.shape[:-1]
+  n = int(np.prod(lead)) if lead else 1
+  xs, _ = _prep_rows(
+      (jax.lax.stop_gradient(m), jax.lax.stop_gradient(v)), n, block)
+  w0s, was, wbs, bs = _canonicalize(cfg, kernels, biases)
+  wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
+
+  outs = list(_make_op(cfg)(xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc))
+  res = []
+  if cfg.out_y:
+    res.append(outs.pop(0)[:n].reshape(*lead, width))
+  if cfg.density:
+    sig = outs.pop(0)[:n, 0].reshape(lead)
+    res.append(sig + (0.0 if bd is None else bd.astype(jnp.float32)[0]))
+  if cfg.h_f32:
+    res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_f32))
+  if cfg.h_cdt:
+    res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_cdt))
+  if cfg.density_grad:
+    res.append(outs.pop(0)[:n].reshape(*lead, F))
+  return res[0] if len(res) == 1 else tuple(res)
+
+
+def reference_trunk(x, kernels, biases, wd=None, bd=None, *,
+                    skip_period=4, density_grad=False,
+                    head_f32=None, head_cdt=None,
+                    compute_dtype='float32'):
+  """Pure-jnp mirror of fused_trunk, flax-Dense numerics (for tests).
+
+  Accepts the same segmented input; returns outputs in fused_trunk's order
+  (with out_y always on and u per segment when density_grad).
+  """
+  cdt = jnp.dtype(compute_dtype)
+  segs = list(x) if isinstance(x, (list, tuple)) else [x]
+  skips = skip_input_layers(len(kernels), skip_period)
+
+  def trunk(x0):
+    h = x0.astype(cdt)
+    for l, (w, b) in enumerate(zip(kernels, biases)):
+      if l in skips:
+        h = jnp.concatenate([h, x0.astype(cdt)], axis=-1)
+      h = jnp.maximum(jnp.dot(h, w.astype(cdt)) + b.astype(cdt), 0)
+    return h
+
+  def sigma(x0):
+    y = trunk(x0)
+    s = jnp.dot(y.astype(jnp.float32), wd)[..., 0] + (
+        0.0 if bd is None else bd[0])
+    return s, y
+
+  x0 = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-1)
+  res = []
   if wd is None:
-    return y
-  sig = outs[1][:n, 0].reshape(lead) + (
-      0.0 if bd is None else bd.astype(jnp.float32)[0])
-  if not cfg.density_grad:
-    return y, sig
-  u = outs[2][:n, :fin].reshape(*lead, fin)
-  return y, sig, u
+    y = trunk(x0)
+    res.append(y)
+  else:
+    sig, y = sigma(x0)
+    res += [y, sig]
+  if head_f32 is not None:
+    wh, bh = head_f32
+    bh = 0.0 if bh is None else bh
+    res.append(jnp.dot(y.astype(jnp.float32), wh) + bh)
+  if head_cdt is not None:
+    wc, bc = head_cdt
+    bc = jnp.zeros((wc.shape[-1],)) if bc is None else bc
+    res.append(jnp.dot(y, wc.astype(cdt)) + bc.astype(cdt))
+  if density_grad and wd is not None:
+    def ssum(x0):
+      return sigma(x0)[0].sum()
+    u = jax.grad(ssum)(x0)
+    off = 0
+    for s in segs:
+      res.append(u[..., off:off + s.shape[-1]])
+      off += s.shape[-1]
+  return res[0] if len(res) == 1 else tuple(res)
+
+
+def reference_encoded_trunk(m, v, kernels, biases, wd, bd=None, *,
+                            skip_period=4, density_grad=False,
+                            head_f32=None, head_cdt=None, out_y=False,
+                            compute_dtype='float32'):
+  """Pure-jnp mirror of fused_encoded_trunk (for tests)."""
+  m = jax.lax.stop_gradient(m)
+  v = jax.lax.stop_gradient(v)
+
+  def enc(m0):
+    e = jnp.exp(-0.5 * v)
+    return [e * jnp.sin(m0), e * jnp.cos(m0)]
+
+  def run(m0):
+    return reference_trunk(enc(m0), kernels, biases, wd, bd,
+                           skip_period=skip_period, density_grad=False,
+                           head_f32=head_f32, head_cdt=head_cdt,
+                           compute_dtype=compute_dtype)
+
+  outs = run(m)
+  outs = list(outs if isinstance(outs, tuple) else (outs,))
+  if not out_y:
+    outs = outs[1:]
+  if density_grad and wd is not None:
+    def ssum(m0):
+      o = run(m0)
+      return (o[1] if isinstance(o, tuple) else o).sum()
+    outs.append(jax.grad(ssum)(m))
+  return outs[0] if len(outs) == 1 else tuple(outs)

@@ -137,3 +137,98 @@ def test_leading_dims_and_padding():
   np.testing.assert_allclose(yr, y, atol=1e-5, rtol=1e-5)
   np.testing.assert_allclose(sr, sig, atol=1e-5, rtol=1e-5)
   np.testing.assert_allclose(ur, u, atol=1e-5, rtol=1e-5)
+
+
+def _heads(key, width, h1=5, h2=16):
+  k1, k2, k3, k4 = jax.random.split(key, 4)
+  wh = jax.random.normal(k1, (width, h1)) / np.sqrt(width)
+  bh = jax.random.normal(k2, (h1,)) * 0.01
+  wc = jax.random.normal(k3, (width, h2)) / np.sqrt(width)
+  bc = jax.random.normal(k4, (h2,)) * 0.01
+  return (wh, bh), (wc, bc)
+
+
+@pytest.mark.parametrize('cdt', ['float32', 'bfloat16'])
+def test_encoded_trunk_matches(cdt):
+  """In-kernel IPE + heads + density gradient vs the jnp mirror."""
+  depth, width, F = 4, 128, 48
+  kernels, biases, wd, bd = _params(jax.random.PRNGKey(8), depth, width,
+                                    2 * F)
+  hf, hc = _heads(jax.random.PRNGKey(9), width)
+  m = jax.random.normal(jax.random.PRNGKey(10), (7, 9, F)) * 3.0
+  v = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(11), (7, 9, F)))
+
+  kw = dict(density_grad=True, head_f32=hf, head_cdt=hc, out_y=True,
+            compute_dtype=cdt)
+  ref = fused_mlp.reference_encoded_trunk(m, v, kernels, biases, wd, bd,
+                                          **kw)
+  out = fused_mlp.fused_encoded_trunk(m, v, kernels, biases, wd, bd,
+                                      block=32, **kw)
+  tol = 2e-5 if cdt == 'float32' else 5e-2
+  for a, b, name in zip(ref, out, ('y', 'sig', 'h32', 'hcdt', 'u')):
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               atol=tol, rtol=tol, err_msg=name)
+
+
+def test_encoded_trunk_gradients():
+  """Params grads (incl. second-order via u and head paths) match pure AD."""
+  depth, width, F = 4, 128, 48
+  kernels, biases, wd, bd = _params(jax.random.PRNGKey(12), depth, width,
+                                    2 * F)
+  hf, hc = _heads(jax.random.PRNGKey(13), width)
+  m = jax.random.normal(jax.random.PRNGKey(14), (61, F)) * 3.0
+  v = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(15), (61, F)))
+
+  def loss(params, fn, extra):
+    k, b, w, bb, (wh, bh), (wc, bc) = params
+    sig, h, c, u = fn(m, v, k, b, w, bb, density_grad=True,
+                      head_f32=(wh, bh), head_cdt=(wc, bc), out_y=False,
+                      **extra)
+    return (jnp.sum(jnp.tanh(sig)) + jnp.sum(jnp.sin(h)) +
+            jnp.sum(jnp.cos(c)) +
+            jnp.sum(jnp.sqrt(jnp.sum(u * u, -1) + 1e-4)))
+
+  params = (kernels, biases, wd, bd, hf, hc)
+  gr = jax.grad(loss)(params, fused_mlp.reference_encoded_trunk, {})
+  gf = jax.grad(loss)(params, fused_mlp.fused_encoded_trunk,
+                      dict(block=32))
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gr),
+                          jax.tree.leaves(gf)):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(a, b, atol=3e-4 * scale, rtol=1e-3,
+                               err_msg=jax.tree_util.keystr(path))
+
+
+def test_segmented_input_with_width1():
+  """Segments (incl. a width-1 n.v segment), fused rgb head, dx grads."""
+  depth, width = 4, 128
+  dims = (32, 24, 1)
+  fin = sum(dims)
+  kernels, biases, _, _ = _params(jax.random.PRNGKey(16), depth, width, fin,
+                                  head=False)
+  hf, _ = _heads(jax.random.PRNGKey(17), width, h1=3)
+  keys = jax.random.split(jax.random.PRNGKey(18), 3)
+  segs = [jax.random.normal(k, (37, d)) for k, d in zip(keys, dims)]
+
+  ref = fused_mlp.reference_trunk(segs, kernels, biases, head_f32=hf)
+  out = fused_mlp.fused_trunk(segs, kernels, biases, head_f32=hf,
+                              out_y=True, block=16)
+  np.testing.assert_allclose(ref[0], out[0], atol=1e-5, rtol=1e-5)
+  np.testing.assert_allclose(ref[1], out[1], atol=1e-5, rtol=1e-5)
+
+  def loss(args, fn, extra):
+    segs, k, b, hf = args
+    o = fn(segs, k, b, head_f32=hf, **extra)
+    y, h = o[0], o[1]
+    return jnp.sum(jnp.sin(y)) + jnp.sum(h ** 2)
+
+  args = (segs, kernels, biases, hf)
+  gr = jax.grad(loss)(args, fused_mlp.reference_trunk, {})
+  gf = jax.grad(loss)(args, fused_mlp.fused_trunk,
+                      dict(out_y=True, needs_dx=True, block=16))
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gr),
+                          jax.tree.leaves(gf)):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=1e-3,
+                               err_msg=jax.tree_util.keystr(path))
