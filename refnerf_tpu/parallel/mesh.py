@@ -22,13 +22,27 @@ DATA_AXIS = 'data'
 def initialize_distributed():
   """Multi-host init: call once per process before any jax computation.
 
-  On TPU pods jax.distributed.initialize() autodetects the coordinator from
-  the TPU environment; gradient reduction then spans ICI within a slice and
-  DCN across hosts with the same sharding annotations. No-op on one host.
+  Two modes:
+  - Explicit coordinator (COORDINATOR_ADDRESS + JAX_PROCESS_COUNT +
+    JAX_PROCESS_ID set): passes them to jax.distributed.initialize. This is
+    how multi-process CPU/GPU clusters (and tests/test_multiprocess.py, a
+    real two-process run with cross-process gloo collectives) come up.
+  - Autodetect (only JAX_PROCESS_COUNT > 1): on TPU pods
+    jax.distributed.initialize() finds the coordinator from the TPU
+    environment; gradient reduction then spans ICI within a slice and DCN
+    across hosts with the same sharding annotations.
+
+  No-op on one host.
   """
   import os
-  if (os.environ.get('COORDINATOR_ADDRESS')
-      or int(os.environ.get('JAX_PROCESS_COUNT', '1')) > 1):
+  addr = os.environ.get('COORDINATOR_ADDRESS')
+  nproc = os.environ.get('JAX_PROCESS_COUNT')
+  if addr and nproc:
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc),
+        process_id=int(os.environ.get('JAX_PROCESS_ID', '0')))
+  elif int(nproc or '1') > 1:
     jax.distributed.initialize()
 
 
