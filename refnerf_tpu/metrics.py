@@ -10,6 +10,7 @@ skipped gracefully (this environment has no network access to fetch weights).
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Callable, Dict, Optional
 
 import jax
@@ -57,8 +58,10 @@ class VGGLPIPS:
           x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
       x = jax.nn.relu(x + b)
       if conv_id in self.block_end_convs:
-        norm = jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True) + 1e-10)
-        feats.append(x / norm)
+        # lpips.normalize_tensor semantics: eps added to the norm, not the
+        # squared sum (matters only at exactly-zero features).
+        norm = jnp.sqrt(jnp.sum(x ** 2, axis=-1, keepdims=True))
+        feats.append(x / (norm + 1e-10))
         if len(feats) < 5:
           x = jax.lax.reduce_window(
               x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), 'VALID')
@@ -88,6 +91,13 @@ class MetricHarness:
       path = lpips_weights or os.environ.get(LPIPS_WEIGHTS_ENV)
       if path and os.path.exists(path):
         self.lpips_fn = VGGLPIPS(path)
+      else:
+        warnings.warn(
+            'LPIPS requested but no weights found '
+            f'(path={path!r}; set ${LPIPS_WEIGHTS_ENV}). Eval metrics will '
+            'NOT include lpips. Provision the .npz with '
+            'tools/convert_lpips_weights.py (see README "LPIPS weights").',
+            stacklevel=2)
 
   def __call__(self, rgb_pred, rgb_gt,
                name_fn: Callable[[str], str] = lambda s: s) -> Dict[str, float]:
