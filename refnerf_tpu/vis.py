@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
+import tempfile
 from typing import List
 
 import numpy as np
@@ -246,19 +247,31 @@ def visualize_suite(rendering, rays, linear_to_srgb=False):
 def _write_video(path: str, frames: List[np.ndarray], fps: int, crf: int):
   """h264 via the ffmpeg binary if present, else animated GIF fallback."""
   if shutil.which('ffmpeg'):
+    # libx264 + yuv420p requires even dimensions; edge-replicate odd frames.
     h, w = frames[0].shape[:2]
+    if h % 2 or w % 2:
+      frames = [np.pad(f, ((0, h % 2), (0, w % 2), (0, 0)), mode='edge')
+                for f in frames]
+      h, w = frames[0].shape[:2]
     cmd = [
         'ffmpeg', '-y', '-f', 'rawvideo', '-vcodec', 'rawvideo',
         '-s', f'{w}x{h}', '-pix_fmt', 'rgb24', '-r', str(fps), '-i', '-',
         '-an', '-vcodec', 'libx264', '-crf', str(crf),
         '-pix_fmt', 'yuv420p', path]
-    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                            stdout=subprocess.DEVNULL,
-                            stderr=subprocess.DEVNULL)
-    for f in frames:
-      proc.stdin.write(np.ascontiguousarray(f).tobytes())
-    proc.stdin.close()
-    proc.wait()
+    # stderr goes to a spool file (a pipe could fill and deadlock the
+    # stdin-streaming loop on long renders).
+    with tempfile.TemporaryFile() as errf:
+      proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                              stdout=subprocess.DEVNULL, stderr=errf)
+      for f in frames:
+        proc.stdin.write(np.ascontiguousarray(f).tobytes())
+      proc.stdin.close()
+      if proc.wait() != 0:
+        errf.seek(0)
+        stderr = errf.read()
+        raise RuntimeError(
+            f'ffmpeg failed writing {path} (exit {proc.returncode}): '
+            f'{stderr[-2000:].decode(errors="replace")}')
   else:
     from PIL import Image
     gif_path = os.path.splitext(path)[0] + '.gif'

@@ -16,6 +16,30 @@ def test_write_video_fallback_or_ffmpeg(tmp_path):
   assert os.path.exists(path) or os.path.exists(str(tmp_path / 'out.gif'))
 
 
+@pytest.mark.skipif(not __import__('shutil').which('ffmpeg'),
+                    reason='ffmpeg not installed')
+def test_write_video_h264_decodable(tmp_path):
+  """The h264 path produces a decodable mp4 with every frame intact.
+
+  Odd frame dimensions exercise the even-padding required by yuv420p.
+  Matches the role of the reference's mediapy h264 writer
+  (reference internal/vis.py:295-353).
+  """
+  import subprocess
+  rng = np.random.RandomState(0)
+  n, h, w = 7, 33, 47  # odd on purpose
+  frames = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+  path = str(tmp_path / 'out.mp4')
+  vis_lib._write_video(path, frames, fps=10, crf=18)
+  assert os.path.exists(path) and os.path.getsize(path) > 0
+  # Decode back to raw rgb24: frame count and (padded-even) geometry hold.
+  out = subprocess.run(
+      ['ffmpeg', '-i', path, '-f', 'rawvideo', '-pix_fmt', 'rgb24', '-'],
+      capture_output=True, check=True)
+  eh, ew = h + h % 2, w + w % 2
+  assert len(out.stdout) == n * eh * ew * 3
+
+
 def test_create_videos_from_frames(tmp_path):
   cfg = configs_lib.Config()
   cfg.checkpoint_dir = 'exps/ckpt/scene'
