@@ -31,6 +31,11 @@ MEASURE_STEPS = int(os.environ.get('BENCH_STEPS', 30))
 # the recommended TPU training mode; its loss trajectory matches f32 to 4
 # decimals over the first 30 steps. 'f32' is exact reference-parity numerics.
 MODE = os.environ.get('BENCH_MODE', 'bf16')
+# Any shipped gin file, e.g. configs/llff_refnerf_geometry_losses.gin to
+# benchmark the full noisy-view consistency-loss step. The default flagship
+# run pins sample_noise_size=0 for a pure data-loss step; a BENCH_GIN config
+# keeps its own noise/consistency settings.
+GIN = os.environ.get('BENCH_GIN')
 
 
 def main():
@@ -44,12 +49,13 @@ def main():
   from refnerf_tpu.models import construct
   from refnerf_tpu.train import step as step_lib
 
+  gin_file = GIN or os.path.join(os.path.dirname(__file__), 'configs',
+                                 'blender_refnerf.gin')
   config, gin = configs_lib.parse(
-      [os.path.join(os.path.dirname(__file__), 'configs',
-                    'blender_refnerf.gin')],
+      [gin_file],
       [f'Config.batch_size = {BATCH_SIZE}',
-       'Config.randomized = False',
-       'Config.sample_noise_size = 0'] +
+       'Config.randomized = False'] +
+      ([] if GIN else ['Config.sample_noise_size = 0']) +
       (["NerfMLP.compute_dtype = 'bfloat16'"] if MODE == 'bf16' else []))
 
   model = construct.construct_model(config, gin)

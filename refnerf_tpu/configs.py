@@ -5,6 +5,16 @@ so existing gin files and `--gin_bindings` overrides keep working verbatim.
 Parsing uses utils/ginlite (gin is not a dependency); the merged config is
 snapshotted to `<ckpt>/logs/<exp-prefix>/<exp>/config.gin` like the reference
 (configs.py:186-193).
+
+Intentionally inert fields, kept only so reference gin files parse (each is
+equally dead or vestigial in the reference itself): `num_workers` (torch
+DataLoader knob; the threaded prefetcher sizes itself), `gc_every` (manual
+gc.collect cadence for torch memory pressure; not needed under XLA),
+`train_render_every` (reference declares it, never renders mid-train),
+`vocab_tree_path` (COLMAP ingestion hint, unused at train time),
+`noise_background` (declared, never read), `render_save_async` (saves here
+overlap device work already; the flag gated a torch thread pool). `num_gpus`
+is honored but the device count comes from the mesh.
 """
 
 from __future__ import annotations

@@ -1,8 +1,11 @@
 """Golden-value regression pins: fixed seed + fixed rays -> frozen outputs.
 
 These catch unintended numerical drift during refactors (sampling, IPE, IDE,
-compositing, init). Values generated on CPU with float32 matmuls; tolerances
-leave room for benign cross-version fusion differences, not semantic change.
+compositing, init). Values generated on CPU with float32 matmuls; values match the
+current CPU numerics exactly, so the 1e-5 tolerance leaves room only for
+benign cross-version fusion differences, not semantic change (the
+full-pipeline oracle in test_reference_parity_model.py is the semantic
+backstop).
 """
 
 import numpy as np
@@ -36,14 +39,14 @@ def _forward(flags):
 def test_golden_refnerf():
   rgb, acc = _forward(_REFNERF_FLAGS)
   g = _GOLDEN['refnerf']
-  np.testing.assert_allclose(rgb[0], g['rgb0'], atol=1e-3)
-  np.testing.assert_allclose(acc.sum(), g['acc_sum'], atol=1e-3)
-  np.testing.assert_allclose(rgb.mean(), g['rgb_mean'], atol=1e-3)
+  np.testing.assert_allclose(rgb[0], g['rgb0'], atol=1e-5)
+  np.testing.assert_allclose(acc.sum(), g['acc_sum'], atol=1e-5)
+  np.testing.assert_allclose(rgb.mean(), g['rgb_mean'], atol=1e-5)
 
 
 def test_golden_mipnerf():
   rgb, acc = _forward(_MIPNERF_FLAGS)
   g = _GOLDEN['mipnerf']
-  np.testing.assert_allclose(rgb[0], g['rgb0'], atol=1e-3)
-  np.testing.assert_allclose(acc.sum(), g['acc_sum'], atol=1e-3)
-  np.testing.assert_allclose(rgb.mean(), g['rgb_mean'], atol=1e-3)
+  np.testing.assert_allclose(rgb[0], g['rgb0'], atol=1e-5)
+  np.testing.assert_allclose(acc.sum(), g['acc_sum'], atol=1e-5)
+  np.testing.assert_allclose(rgb.mean(), g['rgb_mean'], atol=1e-5)
