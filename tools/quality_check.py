@@ -21,6 +21,10 @@ def main():
   p.add_argument('--scene', default='/tmp/sphere_scene')
   p.add_argument('--res', type=int, default=64)
   p.add_argument('--bf16', action='store_true', default=True)
+  p.add_argument('--f32', action='store_true',
+                 help='override --bf16: run the trunks in float32')
+  p.add_argument('--fused', choices=['auto', 'on', 'off'], default='auto',
+                 help='NerfMLP.fused_trunk (A/B the Pallas kernels)')
   args = p.parse_args()
 
   import jax
@@ -49,8 +53,9 @@ def main():
       # Short-run LR schedule (the 300k-step schedule barely decays here).
       'Config.lr_delay_steps = 512',
   ]
-  if args.bf16:
+  if args.bf16 and not args.f32:
     bindings.append("NerfMLP.compute_dtype = 'bfloat16'")
+  bindings.append(f"NerfMLP.fused_trunk = '{args.fused}'")
 
   config, gin = configs_lib.parse(
       [os.path.join(os.path.dirname(__file__), '..', 'configs',
