@@ -47,12 +47,6 @@ class Model(nn.Module):
   srgb_mapping_type: str = 'linear'
   srgb_mapping_when_rendering: bool = False
   vis_num_rays: int = 16
-  # Use the hand-written Pallas resampling kernel (ops/pallas/resample.py)
-  # for the deterministic sampler. Exact-match with the jnp path; measured
-  # slightly slower than XLA's fusion at 128x128 on v5e, so off by default -
-  # kept for larger sample counts where the O(n*m) HBM intermediates of the
-  # jnp path stop fitting.
-  use_pallas_resample: bool = False
 
   def _level_mlp(self, is_prop):
     if self.prop_mlp is None:
@@ -122,19 +116,15 @@ class Model(nn.Module):
         rng, key_sample = jax.random.split(rng)
       else:
         key_sample = None
-      if (self.use_pallas_resample and key_sample is None
-          and sdist.ndim == 2):
-        from refnerf_tpu.ops.pallas import resample as pallas_resample
-        sdist = jax.lax.stop_gradient(
-            pallas_resample.sample_intervals_pallas(
-                sdist, logits_resample, num_samples,
-                domain=(self.init_s_near, self.init_s_far)))
-      else:
-        sdist = jax.lax.stop_gradient(
-            stepfun.sample_intervals(
-                key_sample, sdist, logits_resample, num_samples,
-                single_jitter=self.single_jitter,
-                domain=(self.init_s_near, self.init_s_far)))
+      # XLA's fusion runs inverse-CDF resampling at HBM speed-of-light here;
+      # a hand-written Pallas kernel lost or tied at every realistic
+      # (rays, bins, samples) size on v5e (docs/DESIGN.md "Pallas status"),
+      # so the jnp formulation is the only path.
+      sdist = jax.lax.stop_gradient(
+          stepfun.sample_intervals(
+              key_sample, sdist, logits_resample, num_samples,
+              single_jitter=self.single_jitter,
+              domain=(self.init_s_near, self.init_s_far)))
 
       tdist = s_to_t(sdist)
 
