@@ -176,15 +176,16 @@ class MLP(nn.Module):
   def _fused_spatial(self, means, covs, viewdirs, compute_density_normals):
     """Spatial stack on the fused Pallas kernel (ops/pallas/fused_mlp.py).
 
-    One kernel evaluates the IPE encoding (from scaled lifted means/vars),
-    the trunk, the density head, every feature-vector head (specular
-    density / grad_pred / roughness / diffuse / tint as one f32 block, the
-    bottleneck as a compute-dtype block), and - in training - the density
-    gradient u = d sigma/d m, all VMEM-resident; the kernel's custom VJP
-    supplies exact first- and second-order parameter cotangents. The
-    encoding Jacobian (scales x basis) is folded outside on the tiny
-    [..., deg, n_basis] tensor, which stays differentiable in u for the
-    outer loss gradient.
+    One kernel evaluates the trunk over the IPE segments (one fused XLA
+    producer writes the compute-dtype sin/cos encoding), the density head,
+    every feature-vector head (specular density / grad_pred / roughness /
+    diffuse / tint as one f32 block, the bottleneck as a compute-dtype
+    block), and - in training - the density gradient folded down to
+    u = d sigma/d lifted-means ([..., n_basis]), all VMEM-resident; the
+    kernel's custom VJP supplies exact first- and second-order parameter
+    cotangents. Only the basis projection remains outside, on the tiny
+    [..., n_basis] tensor, which stays differentiable in u for the outer
+    loss gradient.
 
     Returns (y or None, raw_density, fused-head dict, normals or None).
     """
@@ -216,17 +217,16 @@ class MLP(nn.Module):
       head_cdt = (bp['kernel'], bp['bias'])
     need_y = (not self.disable_rgb) and viewdirs is None
 
-    # Scaled lifted means/vars, deg-major basis-minor - exactly the
-    # argument layout of coord.integrated_pos_enc.
+    # Lifted means/vars stay n_basis-wide; the kernel wrapper applies the
+    # per-degree scales and trig (coord.integrated_pos_enc layout:
+    # deg-major, basis-minor) and folds the scales back out of the density
+    # gradient, so u returns n_basis-wide too.
     basis = jnp.asarray(self.pos_basis_t)
     lm, lv = coord.lift_and_diagonalize(means, covs, basis)
-    scales = 2.0 ** jnp.arange(self.min_deg_point, self.max_deg_point)
-    shp = lm.shape[:-1] + (-1,)
-    m_s = jnp.reshape(lm[..., None, :] * scales[:, None], shp)
-    v_s = jnp.reshape(lv[..., None, :] * scales[:, None] ** 2, shp)
+    scales = 2.0 ** np.arange(self.min_deg_point, self.max_deg_point)
 
     outs = fused_mlp.fused_encoded_trunk(
-        m_s, v_s, ks, bs, vd['kernel'], vd['bias'],
+        lm, lv, scales, ks, bs, vd['kernel'], vd['bias'],
         skip_period=self.skip_layer, density_grad=compute_density_normals,
         head_f32=head_f32, head_cdt=head_cdt, out_y=need_y,
         compute_dtype=self.compute_dtype, block=self.fused_block)
@@ -244,11 +244,8 @@ class MLP(nn.Module):
       fh['bottleneck'] = outs.pop(0)
     normals = None
     if compute_density_normals:
-      u_m = outs.pop(0)
-      n_basis = basis.shape[-1]
-      u_k = u_m.reshape(u_m.shape[:-1] + (scales.shape[0], n_basis))
-      grads = jnp.matmul((u_k * scales[:, None]).sum(-2), basis.T)
-      normals = -ref_utils.l2_normalize(grads)
+      u_lm = outs.pop(0)  # d sigma / d lifted-means, [..., n_basis]
+      normals = -ref_utils.l2_normalize(jnp.matmul(u_lm, basis.T))
     return y, raw_density, fh, normals
 
   def run_spatial_net(self, x):

@@ -11,11 +11,16 @@ with every intermediate resident in VMEM:
   IPE); the first layer's and each skip layer's weights are row-split per
   segment, so the XLA-side concatenate (and its pad+maximum transpose) never
   materializes.
-- **In-kernel IPE** (`encode` mode): the kernel receives the scaled lifted
-  means/vars and computes x = [exp(-v/2)sin(m) | exp(-v/2)cos(m)] itself
-  (reference internal/coord.py integrated_pos_enc), plus the density
-  gradient with respect to m. Sample positions are stop-gradient in the
-  model (resampling detaches sdist), so m/v carry no cotangents.
+- **Compact IPE gradient** (`u_proj`): for the IPE trunk the two segments
+  are xs = exp(-v/2)sin(m), xc = exp(-v/2)cos(m) (computed by one fused XLA
+  producer in compute dtype - reference internal/coord.py
+  integrated_pos_enc); the kernel folds the chain rule
+  d sigma/d m = xc*u_xs - xs*u_xc and the per-degree scales into a single
+  in-kernel projection, so the density gradient leaves as
+  [block, n_basis] instead of [block, deg*n_basis] (16x less HBM at
+  deg 16), and the second-order cotangent arrives equally compact. Sample
+  positions are stop-gradient in the model (resampling detaches sdist), so
+  xs/xc carry no cotangents.
 - **In-kernel heads**: the density head, an f32 head block (grad_pred /
   roughness / diffuse / tint / specular-density, or the dir trunk's rgb
   head), and a compute-dtype head block (the bottleneck) are evaluated on
@@ -70,11 +75,12 @@ class TrunkCfg(NamedTuple):
   """Static kernel configuration (hashable; used as a cache key)."""
   depth: int
   width: int
-  seg_dims: Tuple[int, ...]  # input segment widths (encode: (F, F))
+  seg_dims: Tuple[int, ...]  # input segment widths (IPE mode: (F, F))
   skip_inputs: Tuple[int, ...]  # layer indices whose input is [act, segs]
-  encode: bool      # inputs are (m, v); segments are the IPE sin/cos halves
+  uproj: int        # >0: segments are IPE (xs, xc); emit the projected
+                    # density gradient d sigma/d lifted-means, this wide
   density: bool     # compute sigma = y . w_d (f32 head)
-  density_grad: bool  # also emit u = d sigma / d m (encode mode only)
+  density_grad: bool  # also emit the density gradient
   h_f32: int        # f32 head block output width (0 = none)
   h_cdt: int        # compute-dtype head block output width (0 = none)
   out_y: bool       # emit the final feature vector
@@ -160,11 +166,7 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
   """Input refs in canonical order; returns a dict of refs."""
   L, S, G = cfg.depth, len(cfg.skip_inputs), len(cfg.seg_dims)
   d = {}
-  if cfg.encode:
-    d['m'] = rr.take()
-    d['v'] = rr.take()
-  else:
-    d['segs'] = rr.take(G)
+  d['segs'] = rr.take(G)
   d['w0s'] = rr.take(G)        # layer-0 weights, one per segment
   d['was'] = rr.take(L - 1)    # layers 1..L-1, activation part
   d['wbs'] = rr.take(S * G)    # skip layers x segments
@@ -177,19 +179,14 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
   if cfg.h_cdt:
     d['wc'] = rr.take()        # (width, h_cdt) cdt
     d['bc'] = rr.take()        # (1, h_cdt) cdt
+  if cfg.uproj:
+    d['su'] = rr.take()        # (F, uproj) f32 scale-fold projection
   return d
 
 
 def _segments(cfg: TrunkCfg, d, cdt):
-  """Segment values (cdt) plus encode-mode trig intermediates (f32)."""
-  if not cfg.encode:
-    return [s[:].astype(cdt) for s in d['segs']], None
-  m = d['m'][:]
-  e = jnp.exp(-0.5 * d['v'][:])
-  sinm, cosm = jnp.sin(m), jnp.cos(m)
-  xs = (e * sinm).astype(cdt)
-  xc = (e * cosm).astype(cdt)
-  return [xs, xc], (e, sinm, cosm)
+  """Segment values in compute dtype."""
+  return [s[:].astype(cdt) for s in d['segs']]
 
 
 def _forward_trunk(cfg: TrunkCfg, d, segs, cdt):
@@ -247,10 +244,10 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
   sig_ref = rr.take() if cfg.density else None
   h_ref = rr.take() if cfg.h_f32 else None
   c_ref = rr.take() if cfg.h_cdt else None
-  u_refs = rr.take(1 if cfg.encode else len(cfg.seg_dims)) \
+  u_refs = rr.take(1 if cfg.uproj else len(cfg.seg_dims)) \
       if cfg.density_grad else ()
 
-  segs, trig = _segments(cfg, d, cdt)
+  segs = _segments(cfg, d, cdt)
   acts = _forward_trunk(cfg, d, segs, cdt)
   y = acts[-1]
   if cfg.out_y:
@@ -265,9 +262,11 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
                 + d['bc'][:].astype(cdt))
   if cfg.density_grad:
     us, _ = _inner_chain(cfg, d, acts, cdt)
-    if cfg.encode:
-      e, sinm, cosm = trig
-      u_refs[0][:] = e * (cosm * us[0] - sinm * us[1])
+    if cfg.uproj:
+      # Chain rule through xs = e sin(m), xc = e cos(m), then fold the
+      # per-degree scales: d sigma/d lifted-means = (xc*u_xs - xs*u_xc) @ S.
+      u_m = _f32(segs[1]) * us[0] - _f32(segs[0]) * us[1]
+      u_refs[0][:] = _dot(u_m, d['su'][:], ((1,), (0,)))
     else:
       for j, u in enumerate(us):
         u_refs[j][:] = u
@@ -284,7 +283,7 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
   sbar_ref = rr.take() if cfg.density else None
   hbar_ref = rr.take() if cfg.h_f32 else None
   cbar_ref = rr.take() if cfg.h_cdt else None
-  ubar_refs = rr.take(1 if cfg.encode else G) if cfg.density_grad else ()
+  ubar_refs = rr.take(1 if cfg.uproj else G) if cfg.density_grad else ()
   # Gradient outputs.
   dw0s = rr.take(G)
   dwas = rr.take(L - 1)
@@ -306,7 +305,7 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
       r[:] = jnp.zeros_like(r)
 
   # 1. Recompute forward (VMEM-resident), incl. the inner chain's s_i.
-  segs, trig = _segments(cfg, d, cdt)
+  segs = _segments(cfg, d, cdt)
   acts = _forward_trunk(cfg, d, segs, cdt)
   y = acts[-1]
   y32 = y.astype(jnp.float32)
@@ -368,10 +367,12 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
 
   # 4. Second-order pass from u_bar: forward tangent chain p.
   if cfg.density_grad:
-    if cfg.encode:
-      e, sinm, cosm = trig
-      ub = ubar_refs[0][:]
-      ts = [(ub * e * cosm).astype(cdt), (-(ub * e * sinm)).astype(cdt)]
+    if cfg.uproj:
+      # Expand the compact cotangent back through the projection and the
+      # xs/xc chain: t_xs = (ub @ S^T) * xc, t_xc = -(ub @ S^T) * xs.
+      tp = _dot(ubar_refs[0][:], d['su'][:], ((1,), (1,)))
+      ts = [(tp * _f32(segs[1])).astype(cdt),
+            (-(tp * _f32(segs[0]))).astype(cdt)]
     else:
       ts = [ubar_refs[j][:].astype(cdt) for j in range(G)]
     p = None
@@ -415,16 +416,15 @@ def _canon_shapes(cfg: TrunkCfg):
 def _make_op(cfg: TrunkCfg):
   """Builds the custom-VJP fused trunk for one static configuration.
 
-  Canonical signature (all f32 params, pre-split; x as segment tuple or
-  (m, v) in encode mode):
-    op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc) -> tuple of outputs
+  Canonical signature (all f32 params, pre-split; x as segment tuple):
+    op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su) -> tuple of outputs
   """
   L, S, G, W = (cfg.depth, len(cfg.skip_inputs), len(cfg.seg_dims),
                 cfg.width)
   cdt = jnp.dtype(cfg.cdt)
   w0_sh, wa_sh, wb_sh = _canon_shapes(cfg)
-  n_u = (1 if cfg.encode else G) if cfg.density_grad else 0
-  u_dims = ((cfg.seg_dims[0],) if cfg.encode else cfg.seg_dims) \
+  n_u = (1 if cfg.uproj else G) if cfg.density_grad else 0
+  u_dims = ((cfg.uproj,) if cfg.uproj else cfg.seg_dims) \
       if cfg.density_grad else ()
 
   def _cast(t):
@@ -432,7 +432,7 @@ def _make_op(cfg: TrunkCfg):
 
   def _wrefs(d_args):
     """Weight arg values + specs, canonical order, cast appropriately."""
-    w0s, was, wbs, bs, wd, wh, bh, wc, bc = d_args
+    w0s, was, wbs, bs, wd, wh, bh, wc, bc, su = d_args
     args = [*_cast(w0s), *_cast(was), *_cast(wbs), _cast(bs)]
     specs = ([_full_spec(s) for s in w0_sh] + [_full_spec(s) for s in wa_sh]
              + [_full_spec(s) for s in wb_sh] + [_full_spec((L, W))])
@@ -444,11 +444,12 @@ def _make_op(cfg: TrunkCfg):
     if cfg.h_cdt:
       args += [_cast(wc), _cast(bc)]
       specs += [_full_spec((W, cfg.h_cdt)), _full_spec((1, cfg.h_cdt))]
+    if cfg.uproj:
+      args.append(su)
+      specs.append(_full_spec((cfg.seg_dims[0], cfg.uproj)))
     return args, specs
 
   def _xspecs(b):
-    if cfg.encode:
-      return [_row_spec(cfg.block, cfg.seg_dims[0])] * 2
     return [_row_spec(cfg.block, sd) for sd in cfg.seg_dims]
 
   def _flops(b, passes):
@@ -486,8 +487,7 @@ def _make_op(cfg: TrunkCfg):
         cost_estimate=pl.CostEstimate(
             flops=_flops(b, 2 if cfg.density_grad else 1),
             bytes_accessed=int(sum(x.size * 4 for x in xs) * 2),
-            transcendentals=int(3 * b * cfg.seg_dims[0]) if cfg.encode
-            else 0),
+            transcendentals=0),
     )(*xs, *wvals)
     return tuple(outs)
 
@@ -536,8 +536,7 @@ def _make_op(cfg: TrunkCfg):
         cost_estimate=pl.CostEstimate(
             flops=_flops(b, 6 if cfg.density_grad else 4),
             bytes_accessed=int(sum(x.size * 4 for x in xs) * 3),
-            transcendentals=int(3 * b * cfg.seg_dims[0]) if cfg.encode
-            else 0),
+            transcendentals=0),
     )(*xs, *wvals, *cots)
     i = 0
     dw0s = tuple(outs[i:i + G]); i += G
@@ -556,25 +555,25 @@ def _make_op(cfg: TrunkCfg):
     return dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc)
 
   @jax.custom_vjp
-  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc):
-    return _fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc)
+  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su):
+    return _fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su)
 
-  def op_fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc):
-    args = (xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc)
+  def op_fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su):
+    args = (xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su)
     return _fwd(*args), args
 
   def op_bwd(res, cots):
     xs, *wargs = res
     dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc) = _bwd(
         xs, tuple(wargs), cots)
-    if cfg.encode:
-      # m and v are stop-gradient inputs (sampling detaches them).
-      dxs = (jnp.zeros_like(xs[0]), jnp.zeros_like(xs[1]))
+    # Segment cotangents are emitted f32; match the primal dtypes.
+    dxs = tuple(d.astype(x.dtype) for d, x in zip(dxs, xs))
     zero = lambda prim, g: jax.tree.map(jnp.zeros_like, prim) \
         if g is None else g
     return (dxs, dw0s, dwas, dwbs, dbs,
             zero(res[5], dwd), zero(res[6], dwh), zero(res[7], dbh),
-            zero(res[8], dwc), zero(res[9], dbc))
+            zero(res[8], dwc), zero(res[9], dbc),
+            zero(res[10], None))
 
   op.defvjp(op_fwd, op_bwd)
   return op
@@ -604,10 +603,11 @@ def _canonicalize(cfg: TrunkCfg, kernels, biases):
 
 
 def _prep_rows(arrs, n, block):
+  """Flatten to rows, pad to a block multiple. Dtype-preserving: compute-
+  dtype segments (the IPE encoding, the bottleneck) stay compact in HBM."""
   npad = _round_up(max(n, 1), block)
   return tuple(
-      jnp.pad(a.reshape(n, a.shape[-1]).astype(jnp.float32),
-              ((0, npad - n), (0, 0)))
+      jnp.pad(a.reshape(n, a.shape[-1]), ((0, npad - n), (0, 0)))
       for a in arrs), npad
 
 
@@ -662,7 +662,7 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   cfg = TrunkCfg(
       depth=depth, width=width, seg_dims=seg_dims,
       skip_inputs=skip_input_layers(depth, skip_period),
-      encode=False, density=wd is not None,
+      uproj=0, density=wd is not None,
       density_grad=density_grad and wd is not None, needs_dx=needs_dx,
       h_f32=0 if wh is None else wh.shape[-1],
       h_cdt=0 if wc is None else wc.shape[-1],
@@ -675,7 +675,8 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   w0s, was, wbs, bs = _canonicalize(cfg, kernels, biases)
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
 
-  outs = list(_make_op(cfg)(xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc))
+  outs = list(_make_op(cfg)(
+      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, None))
   res = []
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))
@@ -692,23 +693,40 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   return res[0] if len(res) == 1 else tuple(res)
 
 
-def fused_encoded_trunk(m, v, kernels, biases, wd, bd=None, *,
+def ipe_scale_fold(scales, n_basis) -> np.ndarray:
+  """The (deg*n_basis, n_basis) projection that folds the per-degree scales.
+
+  S[d*n_basis + j, j] = scales[d]; u_lifted = (d sigma/d m_scaled) @ S.
+  """
+  scales = np.asarray(scales, np.float32)
+  return np.kron(scales[:, None], np.eye(n_basis, dtype=np.float32))
+
+
+def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
                         skip_period=4, density_grad=False,
                         head_f32=None, head_cdt=None, out_y=False,
                         compute_dtype='float32', block=512,
                         interpret=None):
-  """Fused trunk with in-kernel IPE: x = [e*sin(m) | e*cos(m)], e=exp(-v/2).
+  """Fused IPE trunk: x = [e*sin(m) | e*cos(m)], m/v the scale-lifted stats.
 
-  `m`/`v` are the scaled lifted means/vars, [..., F] each (the trunk input
-  is 2F wide). They are stop-gradient (sampling detaches positions); with
-  density_grad the kernel returns u = d sigma/d m (the e*cos/e*sin-weighted
-  combination of the inner chain), [..., F].
+  `lm`/`lv` are the lifted means/vars, [..., n_basis] each; `scales` the
+  static per-degree frequency scales (len deg; the trunk input is
+  2*deg*n_basis wide). The trig encoding is computed here - one fused XLA
+  producer writing the two compute-dtype segments - so the kernel reads
+  compact inputs; positions are stop-gradient (resampling detaches sdist).
+  With density_grad the kernel emits u = d sigma/d lm ([..., n_basis]): the
+  xs/xc chain rule and the scale fold run in-kernel (`TrunkCfg.uproj`), so
+  the gradient tensor (and its backward cotangent) is deg-times smaller
+  than the encoding.
 
   Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u].
   """
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
-  F = int(m.shape[-1])
+  cdt = jnp.dtype(compute_dtype)
+  nb = int(lm.shape[-1])
+  scales = np.asarray(scales, np.float32)
+  F = nb * len(scales)
   depth = len(kernels)
   width = kernels[-1].shape[-1]
   wh, bh = _head(*head_f32) if head_f32 else (None, None)
@@ -716,21 +734,34 @@ def fused_encoded_trunk(m, v, kernels, biases, wd, bd=None, *,
   cfg = TrunkCfg(
       depth=depth, width=width, seg_dims=(F, F),
       skip_inputs=skip_input_layers(depth, skip_period),
-      encode=True, density=wd is not None,
+      uproj=nb, density=wd is not None,
       density_grad=density_grad and wd is not None, needs_dx=False,
       h_f32=0 if wh is None else wh.shape[-1],
       h_cdt=0 if wc is None else wc.shape[-1],
       out_y=out_y, cdt=compute_dtype, block=block,
       interpret=bool(interpret))
 
-  lead = m.shape[:-1]
+  # The IPE encoding, written once in compute dtype (XLA fuses the lift ->
+  # scale -> trig -> cast chain into one producer; the f32 scaled stats
+  # never reach HBM). Reference internal/coord.py integrated_pos_enc.
+  lm = jax.lax.stop_gradient(lm)
+  lv = jax.lax.stop_gradient(lv)
+  shp = lm.shape[:-1] + (F,)
+  m_s = jnp.reshape(lm[..., None, :] * scales[:, None], shp)
+  v_s = jnp.reshape(lv[..., None, :] * scales[:, None] ** 2, shp)
+  e = jnp.exp(-0.5 * v_s)
+  xseg = (e * jnp.sin(m_s)).astype(cdt)
+  cseg = (e * jnp.cos(m_s)).astype(cdt)
+
+  lead = lm.shape[:-1]
   n = int(np.prod(lead)) if lead else 1
-  xs, _ = _prep_rows(
-      (jax.lax.stop_gradient(m), jax.lax.stop_gradient(v)), n, block)
+  xs, _ = _prep_rows((xseg, cseg), n, block)
   w0s, was, wbs, bs = _canonicalize(cfg, kernels, biases)
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
+  su = jnp.asarray(ipe_scale_fold(scales, nb))
 
-  outs = list(_make_op(cfg)(xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc))
+  outs = list(_make_op(cfg)(
+      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, su))
   res = []
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))
@@ -742,7 +773,7 @@ def fused_encoded_trunk(m, v, kernels, biases, wd, bd=None, *,
   if cfg.h_cdt:
     res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_cdt))
   if cfg.density_grad:
-    res.append(outs.pop(0)[:n].reshape(*lead, F))
+    res.append(outs.pop(0)[:n].reshape(*lead, nb))
   return res[0] if len(res) == 1 else tuple(res)
 
 
@@ -800,31 +831,42 @@ def reference_trunk(x, kernels, biases, wd=None, bd=None, *,
   return res[0] if len(res) == 1 else tuple(res)
 
 
-def reference_encoded_trunk(m, v, kernels, biases, wd, bd=None, *,
+def reference_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
                             skip_period=4, density_grad=False,
                             head_f32=None, head_cdt=None, out_y=False,
                             compute_dtype='float32'):
-  """Pure-jnp mirror of fused_encoded_trunk (for tests)."""
-  m = jax.lax.stop_gradient(m)
-  v = jax.lax.stop_gradient(v)
+  """Pure-jnp mirror of fused_encoded_trunk (for tests).
 
-  def enc(m0):
-    e = jnp.exp(-0.5 * v)
-    return [e * jnp.sin(m0), e * jnp.cos(m0)]
+  Matches the fused semantics exactly: the encoding is computed in f32 and
+  cast to compute dtype once; u = d sigma/d lm differentiates through the
+  cast encoding (the kernel's xs/xc chain-rule + scale fold).
+  """
+  cdt = jnp.dtype(compute_dtype)
+  lm = jax.lax.stop_gradient(lm)
+  lv = jax.lax.stop_gradient(lv)
+  scales = jnp.asarray(np.asarray(scales, np.float32))
+  F = lm.shape[-1] * scales.shape[0]
+  shp = lm.shape[:-1] + (F,)
 
-  def run(m0):
-    return reference_trunk(enc(m0), kernels, biases, wd, bd,
+  def enc(lm0):
+    m_s = jnp.reshape(lm0[..., None, :] * scales[:, None], shp)
+    v_s = jnp.reshape(lv[..., None, :] * scales[:, None] ** 2, shp)
+    e = jnp.exp(-0.5 * v_s)
+    return [(e * jnp.sin(m_s)).astype(cdt), (e * jnp.cos(m_s)).astype(cdt)]
+
+  def run(lm0):
+    return reference_trunk(enc(lm0), kernels, biases, wd, bd,
                            skip_period=skip_period, density_grad=False,
                            head_f32=head_f32, head_cdt=head_cdt,
                            compute_dtype=compute_dtype)
 
-  outs = run(m)
+  outs = run(lm)
   outs = list(outs if isinstance(outs, tuple) else (outs,))
   if not out_y:
     outs = outs[1:]
   if density_grad and wd is not None:
-    def ssum(m0):
-      o = run(m0)
+    def ssum(lm0):
+      o = run(lm0)
       return (o[1] if isinstance(o, tuple) else o).sum()
-    outs.append(jax.grad(ssum)(m))
+    outs.append(jax.grad(ssum)(lm))
   return outs[0] if len(outs) == 1 else tuple(outs)

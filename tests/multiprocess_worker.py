@@ -11,43 +11,46 @@ parallel/mesh.py end to end, matching the role of the reference's DDP
 launch (reference train.py:76-90).
 
 Writes {"process_id", "loss", "psnr", "checksum"} as JSON to argv[1].
+
+IMPORT-SAFE: all environment mutation and jax initialization live inside
+main(), because the pytest process imports this module (for N_STEPS) and
+must not have its own 8-device virtual platform reconfigured.
 """
-
-import json
-import os
-import sys
-
-# Platform must be pinned before jax initializes (the host image pins a TPU
-# plugin via sitecustomize; each worker gets 2 virtual CPU devices).
-os.environ['JAX_PLATFORMS'] = 'cpu'
-os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
-
-import jax  # noqa: E402
-
-jax.config.update('jax_platforms', 'cpu')
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from refnerf_tpu.parallel import mesh as mesh_lib  # noqa: E402
-
-# Before any computation: join the 2-process cluster.
-mesh_lib.initialize_distributed()
-
-import jax.numpy as jnp  # noqa: E402,F401
-import numpy as np  # noqa: E402
-
-from refnerf_tpu.train import step as step_lib  # noqa: E402
-from tests.test_train_step import _setup  # noqa: E402
 
 N_STEPS = 3
 
 
-def _fetch(x):
-  """Host value of a (replicated) global array from this process's shard."""
-  return np.asarray(x.addressable_data(0))
-
-
 def main():
+  import json
+  import os
+  import sys
+
+  # Platform must be pinned before jax initializes (the host image pins a
+  # TPU plugin via sitecustomize; each worker gets 2 virtual CPU devices).
+  os.environ['JAX_PLATFORMS'] = 'cpu'
+  os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'
+
+  import jax
+
+  jax.config.update('jax_platforms', 'cpu')
+
+  sys.path.insert(
+      0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+  from refnerf_tpu.parallel import mesh as mesh_lib
+
+  # Before any computation: join the 2-process cluster.
+  mesh_lib.initialize_distributed()
+
+  import numpy as np
+
+  from refnerf_tpu.train import step as step_lib
+  from tests.test_train_step import _setup
+
+  def fetch(x):
+    """Host value of a (replicated) global array via this process's shard."""
+    return np.asarray(x.addressable_data(0))
+
   out_path = sys.argv[1]
   assert jax.process_count() == 2, jax.process_count()
   assert jax.local_device_count() == 2
@@ -66,12 +69,12 @@ def main():
     state, stats = train_step(state, batch)
 
   checksum = float(sum(
-      np.abs(_fetch(leaf)).sum()
+      np.abs(fetch(leaf)).sum()
       for leaf in jax.tree_util.tree_leaves(state.params)))
   result = {
       'process_id': jax.process_index(),
-      'loss': float(_fetch(stats['loss'])),
-      'psnr': float(_fetch(stats['psnr'])),
+      'loss': float(fetch(stats['loss'])),
+      'psnr': float(fetch(stats['psnr'])),
       'checksum': checksum,
   }
   with open(out_path, 'w') as f:

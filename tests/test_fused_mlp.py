@@ -150,20 +150,21 @@ def _heads(key, width, h1=5, h2=16):
 
 @pytest.mark.parametrize('cdt', ['float32', 'bfloat16'])
 def test_encoded_trunk_matches(cdt):
-  """In-kernel IPE + heads + density gradient vs the jnp mirror."""
-  depth, width, F = 4, 128, 48
+  """IPE segments + heads + projected density gradient vs the jnp mirror."""
+  depth, width, nb, scales = 4, 128, 16, (1.0, 2.0, 4.0)
+  F = nb * len(scales)
   kernels, biases, wd, bd = _params(jax.random.PRNGKey(8), depth, width,
                                     2 * F)
   hf, hc = _heads(jax.random.PRNGKey(9), width)
-  m = jax.random.normal(jax.random.PRNGKey(10), (7, 9, F)) * 3.0
-  v = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(11), (7, 9, F)))
+  m = jax.random.normal(jax.random.PRNGKey(10), (7, 9, nb)) * 3.0
+  v = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(11), (7, 9, nb)))
 
   kw = dict(density_grad=True, head_f32=hf, head_cdt=hc, out_y=True,
             compute_dtype=cdt)
-  ref = fused_mlp.reference_encoded_trunk(m, v, kernels, biases, wd, bd,
-                                          **kw)
-  out = fused_mlp.fused_encoded_trunk(m, v, kernels, biases, wd, bd,
-                                      block=32, **kw)
+  ref = fused_mlp.reference_encoded_trunk(m, v, scales, kernels, biases,
+                                          wd, bd, **kw)
+  out = fused_mlp.fused_encoded_trunk(m, v, scales, kernels, biases,
+                                      wd, bd, block=32, **kw)
   tol = 2e-5 if cdt == 'float32' else 5e-2
   for a, b, name in zip(ref, out, ('y', 'sig', 'h32', 'hcdt', 'u')):
     np.testing.assert_allclose(np.asarray(a, np.float32),
@@ -173,16 +174,17 @@ def test_encoded_trunk_matches(cdt):
 
 def test_encoded_trunk_gradients():
   """Params grads (incl. second-order via u and head paths) match pure AD."""
-  depth, width, F = 4, 128, 48
+  depth, width, nb, scales = 4, 128, 16, (1.0, 2.0, 4.0)
+  F = nb * len(scales)
   kernels, biases, wd, bd = _params(jax.random.PRNGKey(12), depth, width,
                                     2 * F)
   hf, hc = _heads(jax.random.PRNGKey(13), width)
-  m = jax.random.normal(jax.random.PRNGKey(14), (61, F)) * 3.0
-  v = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(15), (61, F)))
+  m = jax.random.normal(jax.random.PRNGKey(14), (61, nb)) * 3.0
+  v = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(15), (61, nb)))
 
   def loss(params, fn, extra):
     k, b, w, bb, (wh, bh), (wc, bc) = params
-    sig, h, c, u = fn(m, v, k, b, w, bb, density_grad=True,
+    sig, h, c, u = fn(m, v, scales, k, b, w, bb, density_grad=True,
                       head_f32=(wh, bh), head_cdt=(wc, bc), out_y=False,
                       **extra)
     return (jnp.sum(jnp.tanh(sig)) + jnp.sum(jnp.sin(h)) +
