@@ -11,16 +11,19 @@ with every intermediate resident in VMEM:
   IPE); the first layer's and each skip layer's weights are row-split per
   segment, so the XLA-side concatenate (and its pad+maximum transpose) never
   materializes.
-- **Compact IPE gradient** (`u_proj`): for the IPE trunk the two segments
-  are xs = exp(-v/2)sin(m), xc = exp(-v/2)cos(m) (computed by one fused XLA
-  producer in compute dtype - reference internal/coord.py
-  integrated_pos_enc); the kernel folds the chain rule
-  d sigma/d m = xc*u_xs - xs*u_xc and the per-degree scales into a single
-  in-kernel projection, so the density gradient leaves as
-  [block, n_basis] instead of [block, deg*n_basis] (16x less HBM at
-  deg 16), and the second-order cotangent arrives equally compact. Sample
+- **Compact IPE** (`encode` + `uproj`): the IPE trunk reads only the lifted
+  means/vars ([block, n_basis] f32 - 16x less HBM than the encoding at
+  deg 16). The per-degree scale expansion is an in-kernel matmul against
+  the scale-fold operand S (m_scaled = lm @ S^T; S[d*nb+j, j] = scale_d),
+  the trig encoding xs = exp(-v/2)sin(m), xc = exp(-v/2)cos(m) runs on the
+  VPU (reference internal/coord.py integrated_pos_enc), and the density
+  gradient folds the chain rule d sigma/d m = e(cos*u_xs - sin*u_xc) plus
+  the scales back through S, leaving as d sigma/d lifted-means
+  ([block, n_basis]); the second-order cotangent arrives equally compact.
+  XLA-side this kills both the deg-major reshape (lane-unaligned -> full
+  relayout copies) and the f32 scaled-stats materialization. Sample
   positions are stop-gradient in the model (resampling detaches sdist), so
-  xs/xc carry no cotangents.
+  lm/lv carry no cotangents.
 - **In-kernel heads**: the density head, an f32 head block (grad_pred /
   roughness / diffuse / tint / specular-density, or the dir trunk's rgb
   head), and a compute-dtype head block (the bottleneck) are evaluated on
@@ -77,6 +80,7 @@ class TrunkCfg(NamedTuple):
   width: int
   seg_dims: Tuple[int, ...]  # input segment widths (IPE mode: (F, F))
   skip_inputs: Tuple[int, ...]  # layer indices whose input is [act, segs]
+  encode: bool      # inputs are compact (lm, lv); expand + trig in-kernel
   uproj: int        # >0: segments are IPE (xs, xc); emit the projected
                     # density gradient d sigma/d lifted-means, this wide
   density: bool     # compute sigma = y . w_d (f32 head)
@@ -166,7 +170,11 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
   """Input refs in canonical order; returns a dict of refs."""
   L, S, G = cfg.depth, len(cfg.skip_inputs), len(cfg.seg_dims)
   d = {}
-  d['segs'] = rr.take(G)
+  if cfg.encode:
+    d['lm'] = rr.take()
+    d['lv'] = rr.take()
+  else:
+    d['segs'] = rr.take(G)
   d['w0s'] = rr.take(G)        # layer-0 weights, one per segment
   d['was'] = rr.take(L - 1)    # layers 1..L-1, activation part
   d['wbs'] = rr.take(S * G)    # skip layers x segments
@@ -185,8 +193,29 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
 
 
 def _segments(cfg: TrunkCfg, d, cdt):
-  """Segment values in compute dtype."""
-  return [s[:].astype(cdt) for s in d['segs']]
+  """Segment values in compute dtype (+ f32 trig intermediates in encode
+  mode: scale-expand via the S operand on the MXU, then VPU trig).
+
+  The expansion dots run at HIGHEST precision: the scales are powers of two
+  (exact binary multipliers), but a default bf16 MXU pass would truncate
+  lm's mantissa before scaling - at scale 2^15 that is a catastrophic phase
+  error in sin/cos. The 3-pass f32 decomposition keeps the products exact.
+  """
+  if not cfg.encode:
+    return [s[:].astype(cdt) for s in d['segs']], None
+  hi = jax.lax.Precision.HIGHEST
+  su = d['su'][:]
+  m_se = jax.lax.dot_general(
+      d['lm'][:], su, dimension_numbers=(((1,), (1,)), ((), ())),
+      precision=hi, preferred_element_type=jnp.float32)
+  v_se = jax.lax.dot_general(
+      d['lv'][:], su * su, dimension_numbers=(((1,), (1,)), ((), ())),
+      precision=hi, preferred_element_type=jnp.float32)
+  e = jnp.exp(-0.5 * v_se)
+  sinm, cosm = jnp.sin(m_se), jnp.cos(m_se)
+  xs = (e * sinm).astype(cdt)
+  xc = (e * cosm).astype(cdt)
+  return [xs, xc], (e, sinm, cosm)
 
 
 def _forward_trunk(cfg: TrunkCfg, d, segs, cdt):
@@ -247,7 +276,7 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
   u_refs = rr.take(1 if cfg.uproj else len(cfg.seg_dims)) \
       if cfg.density_grad else ()
 
-  segs = _segments(cfg, d, cdt)
+  segs, trig = _segments(cfg, d, cdt)
   acts = _forward_trunk(cfg, d, segs, cdt)
   y = acts[-1]
   if cfg.out_y:
@@ -264,8 +293,13 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
     us, _ = _inner_chain(cfg, d, acts, cdt)
     if cfg.uproj:
       # Chain rule through xs = e sin(m), xc = e cos(m), then fold the
-      # per-degree scales: d sigma/d lifted-means = (xc*u_xs - xs*u_xc) @ S.
-      u_m = _f32(segs[1]) * us[0] - _f32(segs[0]) * us[1]
+      # per-degree scales: d sigma/d lifted-means = e(cos*u_xs - sin*u_xc)@S.
+      # Without in-kernel trig, xc/xs themselves are e*cos/e*sin.
+      if trig is not None:
+        e, sinm, cosm = trig
+        u_m = e * (cosm * us[0] - sinm * us[1])
+      else:
+        u_m = _f32(segs[1]) * us[0] - _f32(segs[0]) * us[1]
       u_refs[0][:] = _dot(u_m, d['su'][:], ((1,), (0,)))
     else:
       for j, u in enumerate(us):
@@ -305,7 +339,7 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
       r[:] = jnp.zeros_like(r)
 
   # 1. Recompute forward (VMEM-resident), incl. the inner chain's s_i.
-  segs = _segments(cfg, d, cdt)
+  segs, trig = _segments(cfg, d, cdt)
   acts = _forward_trunk(cfg, d, segs, cdt)
   y = acts[-1]
   y32 = y.astype(jnp.float32)
@@ -369,10 +403,14 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
   if cfg.density_grad:
     if cfg.uproj:
       # Expand the compact cotangent back through the projection and the
-      # xs/xc chain: t_xs = (ub @ S^T) * xc, t_xc = -(ub @ S^T) * xs.
+      # trig chain: t_xs = (ub @ S^T) * e cos(m), t_xc = -(ub @ S^T) e sin.
       tp = _dot(ubar_refs[0][:], d['su'][:], ((1,), (1,)))
-      ts = [(tp * _f32(segs[1])).astype(cdt),
-            (-(tp * _f32(segs[0]))).astype(cdt)]
+      if trig is not None:
+        e, sinm, cosm = trig
+        ts = [(tp * e * cosm).astype(cdt), (-(tp * e * sinm)).astype(cdt)]
+      else:
+        ts = [(tp * _f32(segs[1])).astype(cdt),
+              (-(tp * _f32(segs[0]))).astype(cdt)]
     else:
       ts = [ubar_refs[j][:].astype(cdt) for j in range(G)]
     p = None
@@ -450,6 +488,8 @@ def _make_op(cfg: TrunkCfg):
     return args, specs
 
   def _xspecs(b):
+    if cfg.encode:
+      return [_row_spec(cfg.block, cfg.uproj)] * 2
     return [_row_spec(cfg.block, sd) for sd in cfg.seg_dims]
 
   def _flops(b, passes):
@@ -487,7 +527,8 @@ def _make_op(cfg: TrunkCfg):
         cost_estimate=pl.CostEstimate(
             flops=_flops(b, 2 if cfg.density_grad else 1),
             bytes_accessed=int(sum(x.size * 4 for x in xs) * 2),
-            transcendentals=0),
+            transcendentals=int(3 * b * cfg.seg_dims[0]) if cfg.encode
+            else 0),
     )(*xs, *wvals)
     return tuple(outs)
 
@@ -536,7 +577,8 @@ def _make_op(cfg: TrunkCfg):
         cost_estimate=pl.CostEstimate(
             flops=_flops(b, 6 if cfg.density_grad else 4),
             bytes_accessed=int(sum(x.size * 4 for x in xs) * 3),
-            transcendentals=0),
+            transcendentals=int(3 * b * cfg.seg_dims[0]) if cfg.encode
+            else 0),
     )(*xs, *wvals, *cots)
     i = 0
     dw0s = tuple(outs[i:i + G]); i += G
@@ -662,7 +704,7 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   cfg = TrunkCfg(
       depth=depth, width=width, seg_dims=seg_dims,
       skip_inputs=skip_input_layers(depth, skip_period),
-      uproj=0, density=wd is not None,
+      encode=False, uproj=0, density=wd is not None,
       density_grad=density_grad and wd is not None, needs_dx=needs_dx,
       h_f32=0 if wh is None else wh.shape[-1],
       h_cdt=0 if wc is None else wc.shape[-1],
@@ -706,18 +748,26 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
                         skip_period=4, density_grad=False,
                         head_f32=None, head_cdt=None, out_y=False,
                         compute_dtype='float32', block=512,
-                        interpret=None):
+                        in_kernel_trig=False, interpret=None):
   """Fused IPE trunk: x = [e*sin(m) | e*cos(m)], m/v the scale-lifted stats.
 
   `lm`/`lv` are the lifted means/vars, [..., n_basis] each; `scales` the
   static per-degree frequency scales (len deg; the trunk input is
-  2*deg*n_basis wide). The trig encoding is computed here - one fused XLA
-  producer writing the two compute-dtype segments - so the kernel reads
-  compact inputs; positions are stop-gradient (resampling detaches sdist).
-  With density_grad the kernel emits u = d sigma/d lm ([..., n_basis]): the
-  xs/xc chain rule and the scale fold run in-kernel (`TrunkCfg.uproj`), so
-  the gradient tensor (and its backward cotangent) is deg-times smaller
-  than the encoding.
+  2*deg*n_basis wide). With density_grad the kernel emits
+  u = d sigma/d lm ([..., n_basis]): the xs/xc chain rule and the scale
+  fold run in-kernel (`TrunkCfg.uproj`), so the gradient tensor (and its
+  backward cotangent) is deg-times smaller than the encoding. Positions
+  are stop-gradient (resampling detaches sdist).
+
+  Two encoding placements (measured on v5e, batch 4096, deg 16):
+  - in_kernel_trig=False (default): trig runs in XLA *in the 3D
+    [deg, n_basis] shape* and only the compute-dtype xs/xc are reshaped to
+    the kernel's 2D row layout - the lane-unaligned collapse costs one
+    bf16 relayout copy, but the f32 scaled stats never materialize.
+  - in_kernel_trig=True: the kernel reads lm/lv directly and does the
+    scale expansion (HIGHEST-precision MXU dots against S) + trig on the
+    VPU (`TrunkCfg.encode`). Least HBM, but the fwd+bwd trig recompute
+    costs more than the copies it saves at these shapes (-4%).
 
   Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u].
   """
@@ -734,28 +784,30 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
   cfg = TrunkCfg(
       depth=depth, width=width, seg_dims=(F, F),
       skip_inputs=skip_input_layers(depth, skip_period),
-      uproj=nb, density=wd is not None,
+      encode=in_kernel_trig, uproj=nb, density=wd is not None,
       density_grad=density_grad and wd is not None, needs_dx=False,
       h_f32=0 if wh is None else wh.shape[-1],
       h_cdt=0 if wc is None else wc.shape[-1],
       out_y=out_y, cdt=compute_dtype, block=block,
       interpret=bool(interpret))
 
-  # The IPE encoding, written once in compute dtype (XLA fuses the lift ->
-  # scale -> trig -> cast chain into one producer; the f32 scaled stats
-  # never reach HBM). Reference internal/coord.py integrated_pos_enc.
-  lm = jax.lax.stop_gradient(lm)
-  lv = jax.lax.stop_gradient(lv)
-  shp = lm.shape[:-1] + (F,)
-  m_s = jnp.reshape(lm[..., None, :] * scales[:, None], shp)
-  v_s = jnp.reshape(lv[..., None, :] * scales[:, None] ** 2, shp)
-  e = jnp.exp(-0.5 * v_s)
-  xseg = (e * jnp.sin(m_s)).astype(cdt)
-  cseg = (e * jnp.cos(m_s)).astype(cdt)
-
+  lm = jax.lax.stop_gradient(lm).astype(jnp.float32)
+  lv = jax.lax.stop_gradient(lv).astype(jnp.float32)
   lead = lm.shape[:-1]
   n = int(np.prod(lead)) if lead else 1
-  xs, _ = _prep_rows((xseg, cseg), n, block)
+  if in_kernel_trig:
+    xs, _ = _prep_rows((lm, lv), n, block)
+  else:
+    # Trig in the 3D [.., deg, nb] shape: the scale broadcast fuses into
+    # the trig producer (no f32 materialization); only the final
+    # compute-dtype xs/xc pay the lane-unaligned reshape relayout.
+    m_s = lm[..., None, :] * scales[:, None]
+    v_s = lv[..., None, :] * scales[:, None] ** 2
+    e = jnp.exp(-0.5 * v_s)
+    shp = lm.shape[:-1] + (F,)
+    xseg = jnp.reshape((e * jnp.sin(m_s)).astype(cdt), shp)
+    cseg = jnp.reshape((e * jnp.cos(m_s)).astype(cdt), shp)
+    xs, _ = _prep_rows((xseg, cseg), n, block)
   w0s, was, wbs, bs = _canonicalize(cfg, kernels, biases)
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
   su = jnp.asarray(ipe_scale_fold(scales, nb))

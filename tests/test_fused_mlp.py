@@ -172,6 +172,29 @@ def test_encoded_trunk_matches(cdt):
                                atol=tol, rtol=tol, err_msg=name)
 
 
+def test_encoded_trunk_high_frequency_scales():
+  """Phase exactness at production scales (2^0..2^15): the in-kernel MXU
+  scale expansion must not truncate lm before multiplying (HIGHEST
+  precision dots), or sin/cos at deg 16 would be garbage."""
+  depth, width, nb = 2, 64, 8
+  scales = tuple(float(2 ** d) for d in range(16))
+  F = nb * len(scales)
+  kernels, biases, wd, bd = _params(jax.random.PRNGKey(20), depth, width,
+                                    2 * F)
+  m = jax.random.normal(jax.random.PRNGKey(21), (33, nb)) * 2.0
+  v = 1e-4 * jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(22),
+                                               (33, nb)))
+  kw = dict(density_grad=True, out_y=False)
+  ref = fused_mlp.reference_encoded_trunk(m, v, scales, kernels, biases,
+                                          wd, bd, **kw)
+  out = fused_mlp.fused_encoded_trunk(m, v, scales, kernels, biases,
+                                      wd, bd, block=16, **kw)
+  for a, b, name in zip(ref, out, ('sig', 'u')):
+    scale = max(1.0, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=3e-4 * scale, rtol=1e-4, err_msg=name)
+
+
 def test_encoded_trunk_gradients():
   """Params grads (incl. second-order via u and head paths) match pure AD."""
   depth, width, nb, scales = 4, 128, 16, (1.0, 2.0, 4.0)
