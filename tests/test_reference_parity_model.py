@@ -85,6 +85,27 @@ SCENARIOS = {
         anneal_slope=10.0, dilation_bias=0.0025, dilation_multiplier=0.5,
         single_jitter=True, resample_padding=0.0,
         srgb_mapping_when_rendering=True, srgb_mapping_type='norm_linear'),
+    # mip-NeRF-style plain MLP (blender_mipnerf.gin): no reflections / IDE /
+    # diffuse-specular split / normals machinery at all.
+    'mipnerf': dict(
+        num_prop_samples=12, num_nerf_samples=8, num_levels=2,
+        anneal_slope=0.0, dilation_bias=0.0, dilation_multiplier=0.0,
+        single_jitter=False, resample_padding=0.01,
+        srgb_mapping_when_rendering=False, srgb_mapping_type='linear',
+        mlp=dict(use_reflections=False, use_directional_enc=False,
+                 enable_pred_roughness=False, use_diffuse_color=False,
+                 use_specular_tint=False, use_n_dot_v=False,
+                 enable_pred_normals=False, disable_density_normals=True,
+                 srgb_mapping=False)),
+    # Specular-density compositing (Config.render_with_specular_density,
+    # reference models.py:244-258 + MLP specular-density head).
+    'specular_density': dict(
+        num_prop_samples=12, num_nerf_samples=8, num_levels=2,
+        anneal_slope=0.0, dilation_bias=0.0, dilation_multiplier=0.0,
+        single_jitter=False, resample_padding=0.01,
+        srgb_mapping_when_rendering=False, srgb_mapping_type='linear',
+        render_with_specular_density=True,
+        mlp=dict(enable_pred_specular_density=True)),
 }
 
 
@@ -130,13 +151,15 @@ def build_pair(scenario_name):
   sc = dict(SCENARIOS[scenario_name])
   srgb_when_rendering = sc.pop('srgb_mapping_when_rendering')
   srgb_type = sc.pop('srgb_mapping_type')
+  mlp_kw = dict(MLP_KW, **sc.pop('mlp', {}))
+  specular_density = sc.pop('render_with_specular_density', False)
 
   # --- flax side ---
   fm = Model(
-      nerf_mlp=MLP(name='NerfMLP', **MLP_KW),
+      nerf_mlp=MLP(name='NerfMLP', **mlp_kw),
       prop_mlp=None,  # single_mlp=True, as in every shipped reference config
       bg_intensity_range=(1.0, 1.0),
-      render_with_specular_density=False,
+      render_with_specular_density=specular_density,
       srgb_mapping_when_rendering=srgb_when_rendering,
       srgb_mapping_type=srgb_type,
       vis_num_rays=4,
@@ -150,20 +173,44 @@ def build_pair(scenario_name):
   ref_cfg = _ref_model_config()
   ref_cfg.srgb_mapping_when_rendering = srgb_when_rendering
   ref_cfg.srgb_mapping_type = srgb_type
+  ref_cfg.render_with_specular_density = specular_density
   saved = (REF.models.NerfMLP, REF.models.PropMLP)
   try:
-    REF.models.NerfMLP = lambda: REF.models.MLP(**MLP_KW)
+    REF.models.NerfMLP = lambda: REF.models.MLP(**mlp_kw)
     REF.models.PropMLP = REF.models.NerfMLP
     tm = REF.models.Model(config=ref_cfg, single_mlp=True,
                           bg_intensity_range=(1.0, 1.0), **sc)
   finally:
     REF.models.NerfMLP, REF.models.PropMLP = saved
+  inner_mlp = tm.nerf_mlp
+  if not mlp_kw.get('use_diffuse_color', True):
+    # Latent reference bug: Model.volumetric_rendering reads
+    # ray_results['diffuse'/'specular'] unconditionally
+    # (reference models.py:272-273) but the MLP only emits them under
+    # use_diffuse_color (models.py:742-744) - the shipped blender_mipnerf
+    # config crashes the reference at runtime. Wrap the torch MLP with this
+    # framework's documented fallback (diffuse=rgb, specular=0,
+    # models/model.py:173-178) so the rest of the pipeline can be compared.
+    class _FallbackMLP(torch.nn.Module):
+      def __init__(self, mlp):
+        super().__init__()
+        self.mlp = mlp
+
+      def forward(self, *a, **k):
+        rr = self.mlp(*a, **k)
+        rr.setdefault('diffuse', rr['rgb'])
+        rr.setdefault('specular', torch.zeros_like(rr['rgb']))
+        return rr
+
+    tm.nerf_mlp = _FallbackMLP(inner_mlp)
+    tm.prop_mlp = tm.nerf_mlp  # single_mlp
+
   # Materialize the LazyLinear layers with one dummy forward.
   tm.eval()
   with torch.no_grad():
     tm(torch_rays(arrays), train_frac=1.0, compute_extras=False)
 
-  copy_params_into_torch(params, tm.nerf_mlp)
+  copy_params_into_torch(params, inner_mlp)
   return tm, fm, params
 
 
@@ -181,6 +228,7 @@ def copy_params_into_torch(params, tmlp):
     set_linear(layer, sub[f'viewdir_{i}'])
   name_map = [
       ('raw_density', 'raw_density'),
+      ('raw_specular_density', 'raw_specular_density'),
       ('grad_pred', 'grad_pred'),
       ('raw_roughness', 'raw_roughness'),
       ('raw_rgb_diffuse', 'raw_rgb_diffuse'),
@@ -242,6 +290,14 @@ def check_forward_parity(scenario, train):
       j_val = jh.get(key)
       if isinstance(t_val, (int, float)) or isinstance(j_val, (int, float)):
         continue  # roughness=0 placeholder when disabled
+      if j_val is None and key in ('diffuse', 'specular'):
+        # No diffuse/specular decomposition in this scenario: the torch
+        # side carries the compatibility-shim fallback (diffuse=rgb,
+        # specular=0) - assert it matches that contract instead.
+        target = th['rgb'] if key == 'diffuse' else torch.zeros_like(t_val)
+        assert_tree_close(target.detach().numpy(), t_val, atol=0,
+                          name=f'L{lvl}/{key} fallback')
+        continue
       assert_tree_close(j_val, t_val, atol=2e-4, name=f'L{lvl}/{key}')
 
   for lvl, (tr, jr) in enumerate(zip(t_rend, j_rend)):
