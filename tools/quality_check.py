@@ -18,7 +18,16 @@ def main():
   p = argparse.ArgumentParser()
   p.add_argument('--steps', type=int, default=3000)
   p.add_argument('--out', default='/tmp/quality_check')
-  p.add_argument('--scene', default='/tmp/sphere_scene')
+  p.add_argument('--scene', default=None,
+                 help='scene dir (default: /tmp/<kind>_scene)')
+  p.add_argument('--scene-kind', choices=['sphere', 'shiny'],
+                 default='sphere',
+                 help='sphere = diffuse Lambertian; shiny = glossy sphere '
+                      'under an analytic environment (view-dependent '
+                      'specular - the Ref-NeRF capability check)')
+  p.add_argument('--gin', default='blender_refnerf.gin',
+                 help='config under configs/ (e.g. blender_mipnerf.gin '
+                      'for the no-reflection ablation)')
   p.add_argument('--res', type=int, default=64)
   p.add_argument('--bf16', action='store_true', default=True)
   p.add_argument('--f32', action='store_true',
@@ -32,7 +41,12 @@ def main():
                     os.path.join(os.path.dirname(__file__), '..',
                                  '.jax_cache'))
   import numpy as np
-  from tools.make_sphere_scene import make_scene
+  if args.scene_kind == 'shiny':
+    from tools.make_shiny_scene import make_scene
+  else:
+    from tools.make_sphere_scene import make_scene
+  if args.scene is None:
+    args.scene = f'/tmp/{args.scene_kind}_scene'
   from refnerf_tpu import configs as configs_lib
   from refnerf_tpu.system import NeRFSystem
 
@@ -59,7 +73,7 @@ def main():
 
   config, gin = configs_lib.parse(
       [os.path.join(os.path.dirname(__file__), '..', 'configs',
-                    'blender_refnerf.gin')], bindings)
+                    args.gin)], bindings)
 
   system = NeRFSystem(config, gin)
   t0 = time.time()
