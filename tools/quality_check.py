@@ -34,6 +34,9 @@ def main():
                  help='override --bf16: run the trunks in float32')
   p.add_argument('--fused', choices=['auto', 'on', 'off'], default='auto',
                  help='NerfMLP.fused_trunk (A/B the Pallas kernels)')
+  p.add_argument('--bindings', action='append', default=[],
+                 help='extra gin bindings, applied last (win over the '
+                      'built-in ones), e.g. "Config.n_input_views = 4"')
   args = p.parse_args()
 
   import jax
@@ -70,6 +73,7 @@ def main():
   if args.bf16 and not args.f32:
     bindings.append("NerfMLP.compute_dtype = 'bfloat16'")
   bindings.append(f"NerfMLP.fused_trunk = '{args.fused}'")
+  bindings.extend(args.bindings)
 
   config, gin = configs_lib.parse(
       [os.path.join(os.path.dirname(__file__), '..', 'configs',
