@@ -98,3 +98,66 @@ def test_param_tree_identical():
           {'params': jax.random.PRNGKey(5)}, gaussians, viewdirs,
           train=False))
   assert t_off == t_on
+
+
+# Flag combinations exercising dispatcher paths the full-flag test misses:
+# plain mipnerf-style trunks, no bottleneck, density-only, density-normals
+# without prediction, and the specular-density head.
+_VARIANTS = {
+    'plain': dict(use_reflections=False, use_directional_enc=False,
+                  enable_pred_normals=False, enable_pred_roughness=False,
+                  use_diffuse_color=False, use_specular_tint=False,
+                  use_n_dot_v=False, disable_density_normals=True),
+    'no_bottleneck': dict(bottleneck_width=0),
+    'density_only': dict(disable_rgb=True, use_reflections=False,
+                         use_directional_enc=False,
+                         enable_pred_roughness=False,
+                         use_diffuse_color=False, use_specular_tint=False,
+                         use_n_dot_v=False),
+    'density_normals_only': dict(enable_pred_normals=False),
+    'specular_density': dict(enable_pred_specular_density=True),
+}
+
+
+@pytest.mark.parametrize('variant', sorted(_VARIANTS))
+@pytest.mark.parametrize('train', [True, False])
+def test_flag_variants_match(variant, train):
+  overrides = _VARIANTS[variant]
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(6))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(7)}, gaussians,
+                    viewdirs, train=False)['params']
+  ref = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='off', **overrides)
+  out = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', **overrides)
+  assert set(ref) == set(out)
+  for k in ref:
+    if ref[k] is None:
+      assert out[k] is None, f'{variant}/{k}'
+      continue
+    np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
+                               err_msg=f'{variant}/{k}')
+
+
+@pytest.mark.parametrize('train', [True, False])
+def test_no_viewdirs_match(train):
+  """viewdirs=None: the spatial trunk must emit features for the rgb head."""
+  gaussians, _ = _gaussians(jax.random.PRNGKey(8))
+  kw = dict(MLP_KW, use_reflections=False, use_directional_enc=False,
+            enable_pred_roughness=False, use_diffuse_color=False,
+            use_specular_tint=False, use_n_dot_v=False)
+  mlp = MLP(**kw, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(9)}, gaussians, None,
+                    train=False)['params']
+  ref = MLP(**kw, fused_trunk='off').apply(
+      {'params': params}, gaussians, None, train=train)
+  out = MLP(**kw, fused_trunk='on').apply(
+      {'params': params}, gaussians, None, train=train)
+  assert set(ref) == set(out)
+  for k in ref:
+    if ref[k] is None:
+      assert out[k] is None, k
+      continue
+    np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
+                               err_msg=k)
