@@ -36,6 +36,9 @@ MODE = os.environ.get('BENCH_MODE', 'bf16')
 # run pins sample_noise_size=0 for a pure data-loss step; a BENCH_GIN config
 # keeps its own noise/consistency settings.
 GIN = os.environ.get('BENCH_GIN')
+# BENCH_FWD=1: measure the inference forward (no gradients, eval mode) -
+# the serving-throughput number - instead of the train step.
+FWD_ONLY = os.environ.get('BENCH_FWD', '0') == '1'
 
 
 def main():
@@ -78,28 +81,46 @@ def main():
       rgb=jnp.asarray(
           rng.uniform(0, 1, (BATCH_SIZE, 3)).astype(np.float32)))
 
-  train_step = jax.jit(step_lib.make_train_step(model, config),
-                       donate_argnums=(0,))
+  if FWD_ONLY:
+    @jax.jit
+    def fwd(params, rays):
+      renderings, _ = model.apply({'params': params}, rays, train_frac=1.0,
+                                  compute_extras=False, train=False)
+      return renderings[-1]['rgb']
+
+    step_fn = lambda: fwd(state.params, batch.rays)
+    metric = 'eval_rays_per_sec'
+  else:
+    train_step = jax.jit(step_lib.make_train_step(model, config),
+                         donate_argnums=(0,))
+    metric = 'train_rays_per_sec'
+
+  def run_once():
+    nonlocal state
+    if FWD_ONLY:
+      return step_fn()[0, 0]
+    state, stats = train_step(state, batch)
+    return stats['loss']
 
   for _ in range(WARMUP_STEPS):
-    state, stats = train_step(state, batch)
+    out = run_once()
   # NOTE: a host transfer (float()) is the sync, NOT block_until_ready -
   # the axon remote platform returns early from block_until_ready, which
   # inflates throughput ~300x. One final fetch amortizes tunnel latency.
-  float(stats['loss'])
+  float(out)
 
   t0 = time.perf_counter()
   for _ in range(MEASURE_STEPS):
-    state, stats = train_step(state, batch)
-  final_loss = float(stats['loss'])
+    out = run_once()
+  final = float(out)
   elapsed = time.perf_counter() - t0
-  assert np.isfinite(final_loss), f'non-finite loss {final_loss}'
+  assert np.isfinite(final), f'non-finite output {final}'
 
   steps_per_sec = MEASURE_STEPS / elapsed
   rays_per_sec = BATCH_SIZE * steps_per_sec
 
   print(json.dumps({
-      'metric': 'train_rays_per_sec',
+      'metric': metric,
       'value': round(rays_per_sec, 1),
       'unit': 'rays/s',
       'vs_baseline': round(rays_per_sec / A100_REFERENCE_RAYS_PER_SEC, 3),
