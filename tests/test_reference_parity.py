@@ -174,3 +174,32 @@ def test_learning_rate_decay_parity():
     theirs = ref_math.learning_rate_decay(step, 2e-3, 2e-5, 250000, 512,
                                           0.01) * 2e-3
     np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+def test_color_correct_parity_including_saturation_pathology():
+  """Bit-parity of the iterative color-correct lstsq, incl. its documented
+  failure mode: on majority-saturated images (e.g. a small object on a
+  white background) the quadratic warp is fit only on in-gamut pixels and
+  extrapolates the saturated background far out of gamut, so cc_psnr can
+  come out far BELOW plain psnr. That is the reference's own behavior
+  (internal/image.py:84-127) - verified identical here so nobody "fixes"
+  it into divergence.
+  """
+  import refbridge
+  refbridge.load_reference()  # installs the dm_pix/gin stand-ins
+  from internal import image as ref_image
+  from refnerf_tpu.ops import image as image_ops
+
+  rng = np.random.RandomState(11)
+  # ~60% saturated white background + a colorful in-gamut blob.
+  ref_img = np.ones((40, 40, 3))
+  blob = rng.uniform(0.1, 0.8, (40, 40, 3))
+  mask = rng.rand(40, 40) < 0.4
+  ref_img = np.where(mask[..., None], blob, ref_img)
+  img = np.clip(ref_img * 0.9 + 0.03 + rng.normal(0, 0.02, ref_img.shape),
+                0, 1)
+
+  ours = np.asarray(image_ops.color_correct(img, ref_img))
+  theirs = ref_image.color_correct(
+      torch.tensor(img), torch.tensor(ref_img)).numpy()
+  np.testing.assert_allclose(ours, theirs, atol=1e-10)
