@@ -61,7 +61,7 @@ avoided (Mosaic masks partial lane tiles internally).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Sequence, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

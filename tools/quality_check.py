@@ -43,7 +43,6 @@ def main():
   jax.config.update('jax_compilation_cache_dir',
                     os.path.join(os.path.dirname(__file__), '..',
                                  '.jax_cache'))
-  import numpy as np
   if args.scene_kind == 'shiny':
     from tools.make_shiny_scene import make_scene
   else:
