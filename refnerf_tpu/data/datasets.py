@@ -121,7 +121,14 @@ class BaseDataset(metaclass=abc.ABCMeta):
     self._cast_rays_in_train_step = config.cast_rays_in_train_step
     self._render_spherical = False
     self._debug_mode = config.dataset_debug_mode
-    self._rng = np.random.default_rng(config.seed)
+    # Train batches are a pure function of (seed, batch index): each draw
+    # derives a fresh generator keyed by the global batch counter, so a
+    # resumed run reproduces the exact batch sequence of an uninterrupted
+    # one (seek() aligns the counter to the restored step). The reference
+    # gets approximate resume from Lightning with a free-running RNG; the
+    # stateless stream makes train(N)+resume(M) == train(N+M) exactly.
+    self._seed = config.seed
+    self._batch_index = 0
 
     self.split = DataSplit(split)
     self.data_dir = data_dir
@@ -225,6 +232,11 @@ class BaseDataset(metaclass=abc.ABCMeta):
       batch['alphas'] = self.alphas[cam_idx, pix_y_int, pix_x_int]
     return rays_lib.Batch(**batch)
 
+  def seek(self, batch_index: int):
+    """Position the train stream so the next batch is `batch_index` (the
+    global step when batches are consumed one per step). Used on resume."""
+    self._batch_index = int(batch_index)
+
   def _next_train(self) -> rays_lib.Batch:
     """Random ray/patch batch (ref: datasets.py:449-485)."""
     num_patches = self._batch_size // self._patch_size ** 2
@@ -240,18 +252,21 @@ class BaseDataset(metaclass=abc.ABCMeta):
       pix_y_int = pixels[1].ravel()[:num_patches].reshape(-1, 1, 1)
       cam_idx = np.repeat(0, num_patches).reshape(-1, 1, 1)
     else:
-      pix_x_int = self._rng.integers(
+      rng = np.random.default_rng(
+          np.random.SeedSequence((self._seed, self._batch_index)))
+      self._batch_index += 1
+      pix_x_int = rng.integers(
           lower_border, self.width - upper_border, (num_patches, 1, 1))
-      pix_y_int = self._rng.integers(
+      pix_y_int = rng.integers(
           lower_border, self.height - upper_border, (num_patches, 1, 1))
       patch_dx_int, patch_dy_int = camera_utils.pixel_coordinates(
           self._patch_size, self._patch_size)
       pix_x_int = pix_x_int + patch_dx_int
       pix_y_int = pix_y_int + patch_dy_int
       if self._batching == BatchingMethod.ALL_IMAGES:
-        cam_idx = self._rng.integers(0, self._n_examples, (num_patches, 1, 1))
+        cam_idx = rng.integers(0, self._n_examples, (num_patches, 1, 1))
       else:
-        cam_idx = self._rng.integers(0, self._n_examples, (1,))
+        cam_idx = rng.integers(0, self._n_examples, (1,))
 
     return self._make_ray_batch(pix_x_int, pix_y_int, cam_idx, lossmult=None)
 

@@ -21,6 +21,10 @@ from refnerf_tpu.ops import image as image_ops
 
 LPIPS_WEIGHTS_ENV = 'REFNERF_TPU_LPIPS_WEIGHTS'
 
+# Warn once per process: MetricHarness is constructed per eval/val call site
+# and repeating the missing-LPIPS-weights warning spams logs/test output.
+_LPIPS_WARNED = [False]
+
 # VGG16 conv layers per block used by LPIPS, with channel counts.
 _VGG_BLOCKS = [
     (2, 64), (2, 128), (3, 256), (3, 512), (3, 512),
@@ -91,7 +95,8 @@ class MetricHarness:
       path = lpips_weights or os.environ.get(LPIPS_WEIGHTS_ENV)
       if path and os.path.exists(path):
         self.lpips_fn = VGGLPIPS(path)
-      else:
+      elif not _LPIPS_WARNED[0]:
+        _LPIPS_WARNED[0] = True
         warnings.warn(
             'LPIPS requested but no weights found '
             f'(path={path!r}; set ${LPIPS_WEIGHTS_ENV}). Eval metrics will '

@@ -16,6 +16,7 @@ through it (second-order AD).
 
 from __future__ import annotations
 
+import logging
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
@@ -28,6 +29,21 @@ from refnerf_tpu.ops import geopoly
 from refnerf_tpu.ops import image as image_ops
 from refnerf_tpu.ops import ref_utils
 from refnerf_tpu.ops.pallas import fused_mlp
+
+
+# Once-per-process record of fused-trunk fallback warnings: a user binding
+# e.g. net_activation via gin silently losing the fused kernels is a ~45%
+# slowdown, so the first occurrence of each (reason, depth) logs loudly.
+_FALLBACK_WARNED = set()
+
+
+def _warn_fused_fallback(reason: str, detail: str):
+  key = (reason, detail)
+  if key not in _FALLBACK_WARNED:
+    _FALLBACK_WARNED.add(key)
+    logging.warning(
+        'fused_trunk: falling back to the plain XLA path (%s: %s). This is '
+        'numerically identical but ~45%% slower on TPU.', reason, detail)
 
 
 def _weight_init(name: str):
@@ -156,13 +172,23 @@ class MLP(nn.Module):
     """Whether to dispatch a dense trunk to the fused Pallas kernels."""
     if self.is_initializing():
       return False  # init materializes params through the plain layer stack
+    enabled = (self.fused_trunk == 'on' or
+               (self.fused_trunk == 'auto' and
+                jax.default_backend() == 'tpu'))
     if self.net_activation not in (nn.relu, jax.nn.relu):
-      return False  # the kernel hardcodes relu (and its exact AD semantics)
+      # The kernel hardcodes relu (and its exact AD semantics).
+      if enabled:
+        _warn_fused_fallback('non-relu net_activation',
+                             f'{self.net_activation!r}')
+      return False
     if depth > 1 and (depth - 1) % self.skip_layer == 0:
-      return False  # trailing-concat output shape the kernel doesn't model
-    if self.fused_trunk == 'auto':
-      return jax.default_backend() == 'tpu'
-    return self.fused_trunk == 'on'
+      # Trailing-concat output shape the kernel doesn't model.
+      if enabled:
+        _warn_fused_fallback(
+            'trailing skip concat',
+            f'depth={depth}, skip_layer={self.skip_layer}')
+      return False
+    return enabled
 
   def _stack_params(self, layers):
     """Collect (kernels, biases) of a bound nn.Dense stack."""
@@ -366,6 +392,21 @@ class MLP(nn.Module):
               (fh['roughness'] if fh is not None
                else self.raw_roughness_layer(x)) + self.roughness_bias)
 
+        # Fused dispatch decided up front: the fused path hands the trunk
+        # [N, d] segments (sample axes collapsed). The IDE itself stays in
+        # the [batch, s] shape - its elementwise recurrence runs on
+        # [batch, s] components at full vector lanes there, whereas with a
+        # flat leading axis every component is a [N]/[N, 1] column at 1/128
+        # lane utilization (measured: 4x whole-step regression). Only the
+        # final compute-dtype encoding pays the collapse relayout.
+        fused_dir = bool(self.viewdir_mlp) and self._fused(
+            self.net_depth_viewdirs)
+        lead = means.shape[:-1]
+        flat = ((lambda t: t.reshape((-1,) + t.shape[len(lead):]))
+                if fused_dir else (lambda t: t))
+        cdt = (jnp.bfloat16 if self.compute_dtype == 'bfloat16'
+               else jnp.float32)
+
         if self.bottleneck_width > 0:
           bottleneck = (fh['bottleneck'] if fh is not None
                         else self.bottleneck_layer(x))
@@ -375,7 +416,7 @@ class MLP(nn.Module):
             rng, key = jax.random.split(rng)
             bottleneck += self.bottleneck_noise * jax.random.normal(
                 key, bottleneck.shape)
-          x = [bottleneck]
+          x = [flat(bottleneck)]
         else:
           x = []
 
@@ -387,16 +428,16 @@ class MLP(nn.Module):
           dir_enc = self.dir_enc_fn(viewdirs, roughness)
           dir_enc = jnp.broadcast_to(
               dir_enc[..., None, :],
-              bottleneck.shape[:-1] + (dir_enc.shape[-1],))
+              means.shape[:-1] + (dir_enc.shape[-1],))
 
-        x.append(dir_enc)
+        x.append(flat(dir_enc))
 
         if self.use_n_dot_v:
           dotprod = jnp.sum(
               normals_to_use * viewdirs[..., None, :], axis=-1, keepdims=True)
-          x.append(dotprod)
+          x.append(flat(dotprod))
 
-        if self.viewdir_mlp and self._fused(self.net_depth_viewdirs):
+        if fused_dir:
           # Fused directional trunk: the input pieces go in as separate
           # segments (no XLA concatenate / pad+maximum transpose), and the
           # rgb head runs in-kernel so the trunk features never hit HBM.
@@ -406,6 +447,7 @@ class MLP(nn.Module):
               x, ks, bs, head_f32=(rp['kernel'], rp['bias']), out_y=False,
               skip_period=self.skip_layer, needs_dx=True,
               compute_dtype=self.compute_dtype, block=self.fused_block)
+          raw_rgb = raw_rgb.reshape(lead + (self.num_rgb_channels,))
         else:
           x = jnp.concatenate(x, axis=-1)
           inputs = x

@@ -123,6 +123,21 @@ def _f32(a):
   return a.astype(jnp.float32)
 
 
+_TRIG_T = float(100 * np.pi)
+
+
+def _safe_trig_arg(x, t=_TRIG_T):
+  """Mod large args into [-t, t) before sin/cos (mathx.safe_trig_helper).
+
+  At max_deg_point=16 the scaled means reach ~2^15·|mean| >> 100pi; TPU
+  sin/cos can NaN out there, and the plain path (coord.integrated_pos_enc
+  -> mathx.safe_sin) range-reduces, so the fused path must match. The
+  reduction is gradient-transparent (d(x mod t)/dx = 1 a.e.), so the
+  manual cos/sin chain rule in the kernels stays exact.
+  """
+  return jnp.where(jnp.abs(x) < t, x, x % t)
+
+
 # Width-1 segments (the n.v scalar) are outer products, not matmuls; route
 # them through the VPU in f32 (numerically identical to an f32-accumulated
 # single-product dot).
@@ -212,6 +227,7 @@ def _segments(cfg: TrunkCfg, d, cdt):
       d['lv'][:], su * su, dimension_numbers=(((1,), (1,)), ((), ())),
       precision=hi, preferred_element_type=jnp.float32)
   e = jnp.exp(-0.5 * v_se)
+  m_se = _safe_trig_arg(m_se)
   sinm, cosm = jnp.sin(m_se), jnp.cos(m_se)
   xs = (e * sinm).astype(cdt)
   xc = (e * cosm).astype(cdt)
@@ -798,15 +814,24 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
   if in_kernel_trig:
     xs, _ = _prep_rows((lm, lv), n, block)
   else:
-    # Trig in the 3D [.., deg, nb] shape: the scale broadcast fuses into
-    # the trig producer (no f32 materialization); only the final
-    # compute-dtype xs/xc pay the lane-unaligned reshape relayout.
-    m_s = lm[..., None, :] * scales[:, None]
-    v_s = lv[..., None, :] * scales[:, None] ** 2
+    # Scale expansion as an MXU matmul against the scale-fold matrix: the
+    # [.., F] scaled stats come out directly in the kernel's 2D layout, so
+    # the trig producer never pays the lane-unaligned [deg, nb] -> [F]
+    # collapse relayout (~0.7 ms/copy at this size on v5e). The products
+    # are exact: one power-of-two entry per S column, HIGHEST precision.
+    su_t = jnp.asarray(ipe_scale_fold(scales, nb)).T
+    hi = jax.lax.Precision.HIGHEST
+    m_s = _safe_trig_arg(
+        jax.lax.dot_general(lm, su_t, (((lm.ndim - 1,), (0,)), ((), ())),
+                            precision=hi,
+                            preferred_element_type=jnp.float32))
+    v_s = jax.lax.dot_general(lv, su_t * su_t,
+                              (((lv.ndim - 1,), (0,)), ((), ())),
+                              precision=hi,
+                              preferred_element_type=jnp.float32)
     e = jnp.exp(-0.5 * v_s)
-    shp = lm.shape[:-1] + (F,)
-    xseg = jnp.reshape((e * jnp.sin(m_s)).astype(cdt), shp)
-    cseg = jnp.reshape((e * jnp.cos(m_s)).astype(cdt), shp)
+    xseg = (e * jnp.sin(m_s)).astype(cdt)
+    cseg = (e * jnp.cos(m_s)).astype(cdt)
     xs, _ = _prep_rows((xseg, cseg), n, block)
   w0s, was, wbs, bs = _canonicalize(cfg, kernels, biases)
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
@@ -901,7 +926,7 @@ def reference_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
   shp = lm.shape[:-1] + (F,)
 
   def enc(lm0):
-    m_s = jnp.reshape(lm0[..., None, :] * scales[:, None], shp)
+    m_s = _safe_trig_arg(jnp.reshape(lm0[..., None, :] * scales[:, None], shp))
     v_s = jnp.reshape(lv[..., None, :] * scales[:, None] ** 2, shp)
     e = jnp.exp(-0.5 * v_s)
     return [(e * jnp.sin(m_s)).astype(cdt), (e * jnp.cos(m_s)).astype(cdt)]

@@ -103,15 +103,19 @@ def generate_ide_fn(deg_view):
   m_values = list(ml_array[0, :])  # python ints: static gather at trace time
 
   def integrated_dir_enc_fn(xyz, kappa_inv):
-    x = xyz[..., 0:1]
-    y = xyz[..., 1:2]
-    z = xyz[..., 2:3]
+    # The running products operate on squeezed [...] arrays (full vector
+    # lanes on TPU - [..., 1] columns tile at 1/128 lane utilization when
+    # the leading shape is flat) and the per-harmonic columns materialize
+    # in ONE stack each at the end.
+    x = xyz[..., 0]
+    y = xyz[..., 1]
+    z = xyz[..., 2]
 
     # z Vandermonde: [1, z, z^2, ..., z^l_max] built by running product.
     vmz_cols = [jnp.ones_like(z)]
     for _ in range(l_max):
       vmz_cols.append(vmz_cols[-1] * z)
-    vmz = jnp.concatenate(vmz_cols, axis=-1)
+    vmz = jnp.stack(vmz_cols, axis=-1)
 
     # (x+iy)^m via a real/imag recurrence; gather needed powers statically.
     re_pows = [jnp.ones_like(x)]
@@ -120,8 +124,8 @@ def generate_ide_fn(deg_view):
       re_prev, im_prev = re_pows[-1], im_pows[-1]
       re_pows.append(re_prev * x - im_prev * y)
       im_pows.append(re_prev * y + im_prev * x)
-    re_vmxy = jnp.concatenate([re_pows[m] for m in m_values], axis=-1)
-    im_vmxy = jnp.concatenate([im_pows[m] for m in m_values], axis=-1)
+    re_vmxy = jnp.stack([re_pows[m] for m in m_values], axis=-1)
+    im_vmxy = jnp.stack([im_pows[m] for m in m_values], axis=-1)
 
     # Real z-dependence shared by re and im parts (a batched matmul -> MXU).
     mat = jnp.asarray(mat_np)

@@ -42,6 +42,14 @@ def initialize_distributed():
         coordinator_address=addr,
         num_processes=int(nproc),
         process_id=int(os.environ.get('JAX_PROCESS_ID', '0')))
+  elif addr:
+    # A coordinator address with no process count is a half-configured
+    # launch; silently degrading to an un-joined single-process run would
+    # train a wrong (un-synchronized) model, so fail loudly instead.
+    raise ValueError(
+        'COORDINATOR_ADDRESS is set but JAX_PROCESS_COUNT is not. Set '
+        'JAX_PROCESS_COUNT (and JAX_PROCESS_ID) for an explicit multi-host '
+        'launch, or unset COORDINATOR_ADDRESS for single-process runs.')
   elif int(nproc or '1') > 1:
     jax.distributed.initialize()
 

@@ -19,12 +19,19 @@ regimes keep every term exactly equal to its single-device value:
     dependent and a mean of per-shard ratios would drift. Their per-shard
     values are already global, so the outer pmean is a no-op on them.
 
-Consistency rays are selected per-shard: each shard perturbs the first
-`sample_noise_size / n_shards` rays of ITS shard (the global batch is a
-random draw, so which rays get the consistency treatment is arbitrary; the
-GSPMD path's global-prefix selection is just one choice). On a single
-device the selection, the RNG stream, and every reduction coincide with the
-GSPMD path bit-for-bit.
+Consistency rays are the GLOBAL batch prefix, exactly as in the GSPMD path:
+the prefix rows (which live in shard 0, since sample_noise_size must fit in
+one shard's batch slice) are all_gather'd, each shard takes its
+`sample_noise_size / n_shards` slice with a dynamic slice at its axis index,
+and perturbs+re-renders those. The perturbation angles come from the same
+un-folded per-step key as the GSPMD path (one global draw per step,
+matching reference sample_utils.py:56-61). Collective transposes
+(all_gather <-> psum_scatter, psum <-> psum) keep the outer grad pmean
+exact, so with `randomized=False` the two strategies agree at ANY device
+count - asserted at 8 devices by tests/test_shard_step.py and the
+geometry-loss dryrun in __graft_entry__.py. (Forward-noise RNG streams are
+still folded per shard; with `randomized=True` the strategies are
+statistically, not bitwise, equivalent.)
 """
 
 from __future__ import annotations
@@ -65,6 +72,11 @@ def make_sharded_train_step(model, config, mesh, raycast_fn=None):
       raise ValueError(
           f'sample_noise_size {config.sample_noise_size} must divide across '
           f'{n_shards} shards.')
+    if config.sample_noise_size * n_shards > config.batch_size:
+      raise ValueError(
+          f'sample_noise_size {config.sample_noise_size} must fit in one '
+          f'shard (batch_size {config.batch_size} / {n_shards} shards) so '
+          'the global consistency-ray prefix can be gathered in one hop.')
     # The consistency losses read sample_noise_size from the config; the
     # per-shard closure sees the per-shard count.
     local_config = dataclasses.replace(
@@ -77,11 +89,12 @@ def make_sharded_train_step(model, config, mesh, raycast_fn=None):
                                   step.astype(jnp.int32))
     rng_fwd, rng_noise, rng_noisy_fwd = jax.random.split(base_rng, 3)
     if n_shards > 1:
-      # Distinct per-shard streams; with one shard the keys match the GSPMD
-      # path exactly (bit-for-bit parity is tested at n_shards == 1).
+      # Distinct per-shard streams for the forward sampling noise. rng_noise
+      # is NOT folded: the perturbation angles are one global draw per step
+      # (matching GSPMD and reference sample_utils.py:56-61), identical on
+      # every shard.
       shard_id = jax.lax.axis_index(axis)
       rng_fwd = jax.random.fold_in(rng_fwd, shard_id)
-      rng_noise = jax.random.fold_in(rng_noise, shard_id)
       rng_noisy_fwd = jax.random.fold_in(rng_noisy_fwd, shard_id)
 
     rays = batch.rays
@@ -99,10 +112,30 @@ def make_sharded_train_step(model, config, mesh, raycast_fn=None):
 
       noisy_rays = None
       renderings_noise = None
+      c_rays, c_rends = rays, renderings
       if consistency_on or distance_consistency_on:
         n_noise = local_config.sample_noise_size // config.patch_size ** 2
+        if n_shards > 1:
+          # The consistency set is the GLOBAL batch prefix (GSPMD/reference
+          # semantics). Those rows live in shard 0 (checked above), so one
+          # all_gather of the prefix + a dynamic slice at this shard's index
+          # hands each shard its n_noise-row piece. Both collectives are
+          # linear; their transposes route the loss gradient back to the
+          # owning shard, and the outer grad pmean stays exact.
+          n_noise_g = config.sample_noise_size // config.patch_size ** 2
+          sid = jax.lax.axis_index(axis)
+
+          def prefix_slice(x):
+            g = jax.lax.all_gather(x[:n_noise_g], axis)[0]
+            return jax.lax.dynamic_slice_in_dim(g, sid * n_noise, n_noise, 0)
+
+          c_rays = jax.tree_util.tree_map(prefix_slice, rays)
+          c_keys = ('diffuse', 'specular', 'normals', 'normals_pred',
+                    'distance', 'acc')
+          c_rends = [{k: prefix_slice(r[k]) for k in c_keys
+                      if r.get(k) is not None} for r in renderings]
         noisy_rays = sampling.sample_noisy_rays(
-            rng_noise, rays, renderings[-1], config.sample_angle_range,
+            rng_noise, c_rays, c_rends[-1], config.sample_angle_range,
             n_noise, config.sample_noise_angles, ratio)
         renderings_noise, _ = model.apply(
             {'params': p}, noisy_rays, train_frac=train_frac,
@@ -134,14 +167,14 @@ def make_sharded_train_step(model, config, mesh, raycast_fn=None):
         (terms['diffuse_consistency'],
          terms['specular_consistency'],
          terms['normals_consistency']) = losses_lib.noisy_consistency_loss(
-             num_levels, renderings, renderings_noise, local_config, ratio,
+             num_levels, c_rends, renderings_noise, local_config, ratio,
              axis_name=axis)
       if config.accumulated_weights_loss_mult > 0:
         terms['acc'] = losses_lib.accumulated_weights_loss(renderings, config)
       if distance_consistency_on:
         terms['distance_consistency'] = (
             losses_lib.noisy_distance_consistency_loss(
-                num_levels, rays, noisy_rays, renderings, renderings_noise,
+                num_levels, c_rays, noisy_rays, c_rends, renderings_noise,
                 local_config, ratio, axis_name=axis))
       if (config.weights_entropy_loss_mult > 0 or
           config.weights_entropy_coarse_loss_mult > 0):

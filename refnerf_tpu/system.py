@@ -140,6 +140,9 @@ class NeRFSystem:
             f'batch_size {config.batch_size} must divide across '
             f'{n_dev} devices')
       self.state = mesh_lib.replicate(self.state, self.mesh)
+    # Align the stateless batch stream to the restored step: the sampler
+    # reproduces the exact batch sequence an uninterrupted run would see.
+    self.train_dataset.seek(int(self.state.step))
     batches = prefetch_lib.training_batches(
         self.train_dataset, mesh=self.mesh, threaded=True)
 
@@ -398,6 +401,13 @@ class NeRFSystem:
           f.write(f'{name}: {np.mean([m[name] for m in metrics])}\n')
         for name in metrics_cc[0]:
           f.write(f'cc_{name}: {np.mean([m[name] for m in metrics_cc])}\n')
+        if self.metric_harness.lpips_fn is None:
+          # Loud placeholder instead of silent omission: a third of the
+          # headline metric triple is missing until weights are provisioned
+          # (tools/convert_lpips_weights.py; ref internal/image.py:133-137
+          # pip-installs them at runtime, impossible on a no-egress host).
+          f.write('lpips: unavailable (no VGG weights; see '
+                  'tools/convert_lpips_weights.py)\n')
 
     if self.summary_writer is not None and not config.render_path:
       dec = max(config.vis_decimate, 1)

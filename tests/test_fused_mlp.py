@@ -195,6 +195,40 @@ def test_encoded_trunk_high_frequency_scales():
                                atol=3e-4 * scale, rtol=1e-4, err_msg=name)
 
 
+@pytest.mark.parametrize('in_kernel_trig', [False, True])
+def test_encoded_trunk_large_args_match_safe_sin(in_kernel_trig):
+  """Large scaled means (>> 100pi) must range-reduce exactly like the plain
+  path's mathx.safe_sin/safe_cos (reference internal/math.py:24-34), or the
+  TPU-default fused path diverges from plain XLA at max_deg_point=16."""
+  from refnerf_tpu.ops import mathx
+
+  depth, width, nb = 2, 64, 8
+  scales = tuple(float(2 ** d) for d in range(16))
+  F = nb * len(scales)
+  kernels, biases, wd, bd = _params(jax.random.PRNGKey(30), depth, width,
+                                    2 * F)
+  # |m * 2^15| ~ 3e5 >> 100pi: the un-reduced trig regime.
+  m = jax.random.normal(jax.random.PRNGKey(31), (33, nb)) * 10.0
+  v = 1e-4 * jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(32),
+                                               (33, nb)))
+  sc = jnp.asarray(scales)
+  m_s = jnp.reshape(m[..., None, :] * sc[:, None], (33, F))
+  v_s = jnp.reshape(v[..., None, :] * sc[:, None] ** 2, (33, F))
+  e = jnp.exp(-0.5 * v_s)
+  plain_x = [e * mathx.safe_sin(m_s), e * mathx.safe_cos(m_s)]
+  ref = fused_mlp.reference_trunk(plain_x, kernels, biases, wd, bd)
+  out = fused_mlp.fused_encoded_trunk(m, v, scales, kernels, biases,
+                                      wd, bd, block=16, out_y=True,
+                                      in_kernel_trig=in_kernel_trig)
+  # reference_trunk returns (y, sig); fused returns (y, sig).
+  for a, b, name in zip(ref[:2], out[:2], ('y', 'sig')):
+    a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+    assert np.all(np.isfinite(b)), name
+    scale = max(1.0, float(np.max(np.abs(a))))
+    np.testing.assert_allclose(a, b, atol=3e-4 * scale, rtol=1e-4,
+                               err_msg=name)
+
+
 def test_encoded_trunk_gradients():
   """Params grads (incl. second-order via u and head paths) match pure AD."""
   depth, width, nb, scales = 4, 128, 16, (1.0, 2.0, 4.0)

@@ -141,6 +141,65 @@ def test_flag_variants_match(variant, train):
 
 
 @pytest.mark.parametrize('train', [True, False])
+def test_fused_dir_trunk_dispatches_and_matches(train, monkeypatch):
+  """net_depth_viewdirs=4 avoids the trailing-concat guard ((4-1)%2 != 0),
+  so the fused directional path (segments + in-kernel rgb head + dx wiring,
+  mlp.py fused_trunk call) must actually dispatch — the default MLP_KW
+  depth of 3 silently falls back, leaving that wiring untested."""
+  from refnerf_tpu.ops.pallas import fused_mlp as fm
+
+  calls = []
+  real = fm.fused_trunk
+
+  def spy(*a, **k):
+    calls.append(k.get('needs_dx'))
+    return real(*a, **k)
+
+  monkeypatch.setattr('refnerf_tpu.models.mlp.fused_mlp.fused_trunk', spy)
+
+  overrides = dict(net_depth_viewdirs=4)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(10))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(11)}, gaussians,
+                    viewdirs, train=False)['params']
+  ref = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='off', **overrides)
+  assert not calls
+  out = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', **overrides)
+  assert calls == [True], 'fused directional trunk did not dispatch'
+  for k in ref:
+    if ref[k] is None:
+      assert out[k] is None, k
+      continue
+    np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
+                               err_msg=k)
+
+
+def test_fallback_warns_once(caplog):
+  """A gin-configured architecture that silently reverts to plain XLA must
+  log the fallback (once per process per reason)."""
+  import logging as pylogging
+
+  from refnerf_tpu.models import mlp as mlp_mod
+
+  mlp_mod._FALLBACK_WARNED.clear()
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(12))
+  overrides = dict(net_activation=jax.nn.silu)
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(13)}, gaussians,
+                    viewdirs, train=False)['params']
+  with caplog.at_level(pylogging.WARNING):
+    _apply(params, gaussians, viewdirs, False,
+           fused_trunk='on', **overrides)
+    _apply(params, gaussians, viewdirs, False,
+           fused_trunk='on', **overrides)
+  hits = [r for r in caplog.records if 'falling back' in r.getMessage()]
+  assert len(hits) == 1
+  assert 'net_activation' in hits[0].getMessage()
+
+
+@pytest.mark.parametrize('train', [True, False])
 def test_no_viewdirs_match(train):
   """viewdirs=None: the spatial trunk must emit features for the rgb head."""
   gaussians, _ = _gaussians(jax.random.PRNGKey(8))

@@ -10,6 +10,8 @@ round-tripped. With a correctly converted archive the evaluator therefore
 reproduces the reference's LPIPS values.
 """
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -110,12 +112,25 @@ def test_lpips_runs_and_orders(tmp_path):
 
 
 def test_lpips_warns_when_weights_missing():
+  metrics_lib._LPIPS_WARNED[0] = False
   with pytest.warns(UserWarning, match='LPIPS requested but no weights'):
     harness = metrics_lib.MetricHarness(compute_lpips=True,
                                         lpips_weights='/nonexistent.npz')
   m = harness(np.zeros((16, 16, 3), np.float32),
               np.zeros((16, 16, 3), np.float32))
   assert 'lpips' not in m
+
+
+def test_lpips_warns_only_once():
+  """Repeated MetricHarness constructions must not spam the warning."""
+  metrics_lib._LPIPS_WARNED[0] = False
+  with pytest.warns(UserWarning, match='LPIPS requested'):
+    metrics_lib.MetricHarness(compute_lpips=True,
+                              lpips_weights='/nonexistent.npz')
+  with warnings.catch_warnings():
+    warnings.simplefilter('error')
+    metrics_lib.MetricHarness(compute_lpips=True,
+                              lpips_weights='/nonexistent.npz')
 
 
 def test_converter_state_dict_mapping(tmp_path):

@@ -97,3 +97,12 @@ def test_matches_single_process(worker_results):
   for r in worker_results:
     np.testing.assert_allclose(r['loss'], float(stats['loss']), rtol=1e-5)
     np.testing.assert_allclose(r['checksum'], checksum, rtol=1e-5)
+
+
+def test_half_configured_launch_raises(monkeypatch):
+  """COORDINATOR_ADDRESS without JAX_PROCESS_COUNT must fail loudly, not
+  degrade to an un-joined single-process run."""
+  monkeypatch.setenv('COORDINATOR_ADDRESS', 'localhost:12345')
+  monkeypatch.delenv('JAX_PROCESS_COUNT', raising=False)
+  with pytest.raises(ValueError, match='JAX_PROCESS_COUNT'):
+    mesh_lib.initialize_distributed()

@@ -1,0 +1,37 @@
+"""Pod-shape AOT compile: the flagship sharded step partitions at
+pod-slice meshes (the only pod-scale signal a single-chip environment can
+produce). Each shape needs its own process because the virtual device
+count is fixed at backend init, so the tool is driven via subprocess.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(n, geometry=True):
+  env = dict(os.environ)
+  env.pop('XLA_FLAGS', None)
+  env.pop('JAX_PLATFORMS', None)
+  cmd = [sys.executable, os.path.join(_REPO, 'tools', 'pod_compile_check.py'),
+         '--devices', str(n)]
+  if geometry:
+    cmd.append('--geometry')
+  out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=_REPO, timeout=1500)
+  assert out.returncode == 0, out.stderr[-2000:]
+  return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize('n', [16, 64])
+def test_pod_slice_compiles_with_bucketed_allreduce(n):
+  r = _run(n)
+  assert r['ok']
+  # The gradient all-reduce exists and gradients are bucketed into a
+  # handful of fused collectives, not one per parameter leaf.
+  assert 1 <= r['all_reduce'] < r['param_leaves']

@@ -51,6 +51,7 @@ def test_shard_map_trains():
 
 
 _GEOMETRY = """
+Config.batch_size = 128
 Config.sample_noise_size = 16
 Config.sample_noise_angles = 2
 Config.sample_angle_range = 0.1
@@ -110,6 +111,37 @@ def test_shard_map_geometry_losses_train_8dev():
   assert losses[-1] < losses[0]
 
 
+def test_shard_map_geometry_losses_match_gspmd_8dev():
+  """The hardest-to-shard losses (global-prefix noisy second forward +
+  data-dependent masked means) agree between the two parallelization
+  strategies at 8 devices: the shard path gathers the global consistency
+  prefix and psums masked-mean numerators/denominators, so with
+  randomized=False losses AND updated params coincide with GSPMD."""
+  config, model, state, batch = _setup(_GEOMETRY)
+  mesh = mesh_lib.create_mesh()
+  assert mesh.shape[mesh_lib.DATA_AXIS] == 8
+
+  state_g = mesh_lib.replicate(state, mesh)
+  batch_g = mesh_lib.shard_batch(batch, mesh)
+  gspmd_step = jax.jit(step_lib.make_train_step(model, config))
+  state_g, stats_g = gspmd_step(state_g, batch_g)
+
+  config2, model2, state2, batch2 = _setup(_GEOMETRY)
+  state_s = mesh_lib.replicate(state2, mesh)
+  batch_s = mesh_lib.shard_batch(batch2, mesh)
+  sharded_step = shard_step_lib.make_sharded_train_step(model2, config2, mesh)
+  state_s, stats_s = sharded_step(state_s, batch_s)
+
+  for k in ['diffuse_consistency', 'specular_consistency',
+            'normals_consistency', 'distance_consistency', 'weights_entropy']:
+    assert k in stats_g['losses'], k
+  np.testing.assert_allclose(float(stats_g['loss']), float(stats_s['loss']),
+                             rtol=1e-5)
+  for a, b in zip(jax.tree_util.tree_leaves(state_g.params),
+                  jax.tree_util.tree_leaves(state_s.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_shard_map_rejects_indivisible_noise():
   config, model, state, batch = _setup(
       _GEOMETRY.replace('Config.sample_noise_size = 16',
@@ -120,3 +152,17 @@ def test_shard_map_rejects_indivisible_noise():
     assert False, 'expected ValueError'
   except ValueError as e:
     assert 'divide' in str(e)
+
+
+def test_shard_map_rejects_oversized_noise_prefix():
+  """sample_noise_size must fit in one shard's batch slice (the global
+  prefix is gathered from shard 0 in one hop)."""
+  config, model, state, batch = _setup(
+      _GEOMETRY.replace('Config.batch_size = 128',
+                        'Config.batch_size = 64'))
+  mesh = mesh_lib.create_mesh()
+  try:
+    shard_step_lib.make_sharded_train_step(model, config, mesh)
+    assert False, 'expected ValueError'
+  except ValueError as e:
+    assert 'fit in one shard' in str(e)

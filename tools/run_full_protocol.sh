@@ -1,0 +1,79 @@
+#!/usr/bin/env bash
+# The full published protocol, one command (VERDICT r2 #1):
+#   1. 800x800 Blender-protocol benchmark scene (100 train / 200 test views,
+#      white background, glossy + diffuse + rough objects),
+#   2. blender_refnerf.gin training >= 25k steps with checkpoint/val cadence,
+#   3. the real eval.py (quantize, color-correct, showcases, avg_metrics.txt),
+#   4. the real render.py (full test-path frames + videos),
+#   5. wall-clock per phase + metrics recorded to PROTOCOL_r03.json.
+# Matches the pipeline shape of reference nerf_system.py:377-465 at the
+# published scale (README.md:34-44); quality floors are pinned in
+# tests/test_protocol_floors.py.
+#
+# Env overrides: SCENE, EXP_ROOT, STEPS, BATCH, EVAL_LIMIT, RESULT.
+set -euo pipefail
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+SCENE="${SCENE:-/tmp/refnerf_bench/scene}"
+EXP_ROOT="${EXP_ROOT:-/tmp/refnerf_bench/exp}"
+STEPS="${STEPS:-25000}"
+BATCH="${BATCH:-4096}"
+EVAL_LIMIT="${EVAL_LIMIT:-200}"
+RESULT="${RESULT:-$ROOT/PROTOCOL_r03.json}"
+
+cd "$ROOT"
+
+if [ ! -f "$SCENE/transforms_test.json" ]; then
+  echo "== generating benchmark scene =="
+  python tools/make_benchmark_scene.py "$SCENE"
+fi
+
+BINDINGS=(
+  --gin_configs=configs/blender_refnerf.gin
+  --gin_bindings="Config.data_dir = '$SCENE'"
+  --gin_bindings="Config.checkpoint_dir = '$EXP_ROOT'"
+  --gin_bindings="Config.exp_name = 'protocol'"
+  --gin_bindings="Config.max_steps = $STEPS"
+  --gin_bindings="Config.checkpoint_every = 5000"
+  --gin_bindings="Config.batch_size = $BATCH"
+  --gin_bindings="Config.render_chunk_size = 16384"
+  --gin_bindings="Config.print_every = 500"
+  --gin_bindings="Config.val_sample_num = 1"
+  --gin_bindings="Config.eval_dataset_limit = $EVAL_LIMIT"
+)
+
+echo "== train ($STEPS steps, batch $BATCH) =="
+t0=$(date +%s)
+python train.py "${BINDINGS[@]}"
+t1=$(date +%s)
+
+echo "== eval ($EVAL_LIMIT views at 800x800) =="
+python eval.py "${BINDINGS[@]}"
+t2=$(date +%s)
+
+echo "== render (test path + videos) =="
+python render.py "${BINDINGS[@]}"
+t3=$(date +%s)
+
+python - "$EXP_ROOT" "$RESULT" "$STEPS" "$BATCH" "$((t1-t0))" "$((t2-t1))" "$((t3-t2))" <<'EOF'
+import json, os, sys
+exp_root, result, steps, batch, t_train, t_eval, t_render = sys.argv[1:8]
+pred_dir = os.path.join(exp_root, 'ckpt', 'protocol', 'protocol', 'test_preds')
+metrics = {}
+with open(os.path.join(pred_dir, 'avg_metrics.txt')) as f:
+    for line in f:
+        k, _, v = line.strip().partition(': ')
+        try:
+            metrics[k] = float(v)
+        except ValueError:
+            metrics[k] = v
+out = {
+    'steps': int(steps), 'batch_size': int(batch), 'resolution': 800,
+    'train_seconds': int(t_train), 'eval_seconds': int(t_eval),
+    'render_seconds': int(t_render),
+    'train_rays_per_sec': round(int(steps) * int(batch) / max(1, int(t_train)), 1),
+    'metrics': metrics,
+}
+with open(result, 'w') as f:
+    json.dump(out, f, indent=1)
+print(json.dumps(out))
+EOF
