@@ -114,7 +114,10 @@ class MLP(nn.Module):
   # 'auto' = on for TPU backends, off elsewhere (CPU tests/golden pins keep
   # plain-XLA numerics); 'on'/'off' force it.
   fused_trunk: str = 'auto'
-  fused_block: int = 512
+  # Sample-block size for the fused kernels. 0 = auto: 512 in bf16 (the
+  # v5e sweep optimum), 256 in f32 (512 overflows the 16 MB scoped-VMEM
+  # stack in the f32 spatial backward kernel).
+  fused_block: int = 0
 
   def setup(self):
     if self.use_reflections and not (self.enable_pred_normals or
@@ -167,6 +170,11 @@ class MLP(nn.Module):
         dense_c(self.net_width_viewdirs, f'viewdir_{i}')
         for i in range(self.net_depth_viewdirs)]
     self.rgb_layer = dense(self.num_rgb_channels, 'rgb')
+
+  def _block(self):
+    if self.fused_block:
+      return self.fused_block
+    return 512 if self.compute_dtype == 'bfloat16' else 256
 
   def _fused(self, depth):
     """Whether to dispatch a dense trunk to the fused Pallas kernels."""
@@ -255,7 +263,7 @@ class MLP(nn.Module):
         lm, lv, scales, ks, bs, vd['kernel'], vd['bias'],
         skip_period=self.skip_layer, density_grad=compute_density_normals,
         head_f32=head_f32, head_cdt=head_cdt, out_y=need_y,
-        compute_dtype=self.compute_dtype, block=self.fused_block)
+        compute_dtype=self.compute_dtype, block=self._block())
     outs = list(outs if isinstance(outs, tuple) else (outs,))
     y = outs.pop(0) if need_y else None
     raw_density = outs.pop(0)
@@ -398,14 +406,13 @@ class MLP(nn.Module):
         # [batch, s] components at full vector lanes there, whereas with a
         # flat leading axis every component is a [N]/[N, 1] column at 1/128
         # lane utilization (measured: 4x whole-step regression). Only the
-        # final compute-dtype encoding pays the collapse relayout.
+        # final encoding pays the collapse relayout. (Pre-casting it to
+        # bf16 was measured slightly slower than letting the kernel cast.)
         fused_dir = bool(self.viewdir_mlp) and self._fused(
             self.net_depth_viewdirs)
         lead = means.shape[:-1]
         flat = ((lambda t: t.reshape((-1,) + t.shape[len(lead):]))
                 if fused_dir else (lambda t: t))
-        cdt = (jnp.bfloat16 if self.compute_dtype == 'bfloat16'
-               else jnp.float32)
 
         if self.bottleneck_width > 0:
           bottleneck = (fh['bottleneck'] if fh is not None
@@ -446,7 +453,7 @@ class MLP(nn.Module):
           raw_rgb = fused_mlp.fused_trunk(
               x, ks, bs, head_f32=(rp['kernel'], rp['bias']), out_y=False,
               skip_period=self.skip_layer, needs_dx=True,
-              compute_dtype=self.compute_dtype, block=self.fused_block)
+              compute_dtype=self.compute_dtype, block=self._block())
           raw_rgb = raw_rgb.reshape(lead + (self.num_rgb_channels,))
         else:
           x = jnp.concatenate(x, axis=-1)

@@ -819,14 +819,20 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
     # the trig producer never pays the lane-unaligned [deg, nb] -> [F]
     # collapse relayout (~0.7 ms/copy at this size on v5e). The products
     # are exact: one power-of-two entry per S column, HIGHEST precision.
+    # The stats collapse to 2D rows FIRST (a free bitcast on the row-major
+    # elementwise producer): a [lead..., nb] dot comes out feature-major
+    # tiled and the bf16 xs/xc then pay a relayout copy per segment per
+    # level re-collapsing for the kernel.
     su_t = jnp.asarray(ipe_scale_fold(scales, nb)).T
     hi = jax.lax.Precision.HIGHEST
+    lm2 = lm.reshape(n, nb)
+    lv2 = lv.reshape(n, nb)
     m_s = _safe_trig_arg(
-        jax.lax.dot_general(lm, su_t, (((lm.ndim - 1,), (0,)), ((), ())),
+        jax.lax.dot_general(lm2, su_t, (((1,), (0,)), ((), ())),
                             precision=hi,
                             preferred_element_type=jnp.float32))
-    v_s = jax.lax.dot_general(lv, su_t * su_t,
-                              (((lv.ndim - 1,), (0,)), ((), ())),
+    v_s = jax.lax.dot_general(lv2, su_t * su_t,
+                              (((1,), (0,)), ((), ())),
                               precision=hi,
                               preferred_element_type=jnp.float32)
     e = jnp.exp(-0.5 * v_s)

@@ -106,7 +106,10 @@ def generate_ide_fn(deg_view):
     # The running products operate on squeezed [...] arrays (full vector
     # lanes on TPU - [..., 1] columns tile at 1/128 lane utilization when
     # the leading shape is flat) and the per-harmonic columns materialize
-    # in ONE stack each at the end.
+    # in ONE stack each at the end. (A fully per-column formulation that
+    # also expands the z-polynomial contraction was measured: it removes
+    # the feature-major relayout copies but the un-fusable column residuals
+    # overflow HBM at batch 4096 - reverted.)
     x = xyz[..., 0]
     y = xyz[..., 1]
     z = xyz[..., 2]

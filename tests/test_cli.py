@@ -64,6 +64,11 @@ NerfMLP.use_n_dot_v = False
 def _run(script, gin_file, extra_bindings=()):
   env = dict(os.environ)
   env['JAX_PLATFORMS'] = 'cpu'
+  # The host image's sitecustomize registers the remote-TPU PJRT plugin
+  # whenever this var is set and then force-selects it, overriding
+  # JAX_PLATFORMS - so a CLI test would silently run on (and serialize
+  # behind) the real chip. Unset it: the subprocess stays CPU-only.
+  env.pop('PALLAS_AXON_POOL_IPS', None)
   env['PYTHONPATH'] = _REPO + os.pathsep + env.get('PYTHONPATH', '')
   # Share the persistent compile cache across CLI subprocesses.
   env['JAX_COMPILATION_CACHE_DIR'] = os.path.join(_REPO, '.jax_cache')

@@ -49,6 +49,9 @@ def worker_results(tmp_path_factory):
         JAX_PROCESS_COUNT='2',
         JAX_PROCESS_ID=str(pid),
     )
+    # Don't register the host image's remote-TPU plugin in CPU workers
+    # (it would dial the chip tunnel; see test_cli._run).
+    env.pop('PALLAS_AXON_POOL_IPS', None)
     procs.append(subprocess.Popen(
         [sys.executable, os.path.join(_REPO, 'tests', 'multiprocess_worker.py'),
          str(out)],

@@ -18,6 +18,9 @@ def _run(n, geometry=True):
   env = dict(os.environ)
   env.pop('XLA_FLAGS', None)
   env.pop('JAX_PLATFORMS', None)
+  # CPU-only AOT check: skip the host image's remote-TPU plugin registration
+  # (it would dial the chip tunnel; see test_cli._run).
+  env.pop('PALLAS_AXON_POOL_IPS', None)
   cmd = [sys.executable, os.path.join(_REPO, 'tools', 'pod_compile_check.py'),
          '--devices', str(n)]
   if geometry:

@@ -39,6 +39,8 @@ BINDINGS=(
   --gin_bindings="Config.print_every = 500"
   --gin_bindings="Config.val_sample_num = 1"
   --gin_bindings="Config.eval_dataset_limit = $EVAL_LIMIT"
+  # The TPU-native flagship recipe: bf16 trunks, f32 params/heads.
+  --gin_bindings="NerfMLP.compute_dtype = 'bfloat16'"
 )
 
 echo "== train ($STEPS steps, batch $BATCH) =="
