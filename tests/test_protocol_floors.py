@@ -18,9 +18,11 @@ _ARTIFACT = os.environ.get('REFNERF_TPU_PROTOCOL_JSON',
                            os.path.join(_REPO, 'PROTOCOL_r03.json'))
 
 # Floors: the weakest values the shipped pipeline is allowed to produce at
-# protocol scale (set ~0.5 dB / 0.01 SSIM under the recorded r3 run).
-PSNR_FLOOR = 30.0
-SSIM_FLOOR = 0.90
+# protocol scale, set ~0.5 dB / ~0.01 SSIM under the recorded r3 run
+# (PROTOCOL_r03.json: psnr 25.60 / ssim 0.9417 at 25k steps, 800x800,
+# 100 train / 200 test views).
+PSNR_FLOOR = 25.1
+SSIM_FLOOR = 0.93
 TRAIN_RAYS_PER_SEC_FLOOR = 25_000.0
 
 

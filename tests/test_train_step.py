@@ -170,3 +170,16 @@ def test_train_step_sharded_over_mesh():
   state2, stats2 = train_step2(state2, batch2)
   np.testing.assert_allclose(float(stats['loss']), float(stats2['loss']),
                              rtol=1e-4)
+
+
+def test_grouped_param_stats_match_per_leaf():
+  # The shape-grouped single-kernel reductions must reproduce the naive
+  # per-leaf statistics (what the reference logs, nerf_system.py:212-217).
+  config, model, state, batch = _setup()
+  train_step = jax.jit(step_lib.make_train_step(model, config))
+  _, stats = train_step(state, batch)
+  named = step_lib._param_stats(state.params)
+  for name, leaf in named.items():
+    np.testing.assert_allclose(
+        float(stats['weights_l2s'][name]), float(jnp.sum(leaf ** 2)),
+        rtol=1e-6, err_msg=name)

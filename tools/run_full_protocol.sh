@@ -45,7 +45,7 @@ BINDINGS=(
 
 echo "== train ($STEPS steps, batch $BATCH) =="
 t0=$(date +%s)
-python train.py "${BINDINGS[@]}"
+python train.py "${BINDINGS[@]}" 2>&1 | tee "$EXP_ROOT.train.log"
 t1=$(date +%s)
 
 echo "== eval ($EVAL_LIMIT views at 800x800) =="
@@ -68,11 +68,26 @@ with open(os.path.join(pred_dir, 'avg_metrics.txt')) as f:
             metrics[k] = float(v)
         except ValueError:
             metrics[k] = v
+# Sustained throughput = mean of the per-window rates train.py logs; the
+# wall-clock division is only the fallback (it overstates after a
+# checkpoint resume, and understates via dataset-load/compile time).
+import re
+rates = []
+try:
+    with open(exp_root + '.train.log') as f:
+        for line in f:
+            m = re.search(r'([\d.]+) steps/s (\d+) rays/s', line)
+            if m:
+                rates.append(int(m.group(2)))
+except OSError:
+    pass
+rays_per_sec = (round(sum(rates) / len(rates), 1) if rates else
+                round(int(steps) * int(batch) / max(1, int(t_train)), 1))
 out = {
     'steps': int(steps), 'batch_size': int(batch), 'resolution': 800,
     'train_seconds': int(t_train), 'eval_seconds': int(t_eval),
     'render_seconds': int(t_render),
-    'train_rays_per_sec': round(int(steps) * int(batch) / max(1, int(t_train)), 1),
+    'train_rays_per_sec': rays_per_sec,
     'metrics': metrics,
 }
 with open(result, 'w') as f:
