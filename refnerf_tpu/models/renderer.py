@@ -48,21 +48,6 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
 
   sharding = mesh_lib.batch_sharding(mesh) if mesh is not None else None
 
-  # The per-ray 'ray_' bundles (sdist/weights per level, ~2 KB/ray) exist
-  # only for the vis_num_rays-row visualization panels, yet dominate the
-  # device->host transfer if fetched whole-frame (the reference fetches all
-  # and subsamples on host, models.py:817-823). Instead each chunk keeps a
-  # fixed per-chunk quota of deterministically-drawn rows ON DEVICE - one
-  # traced gather program (indices are data, shapes static) - so only
-  # ~vis_num_rays rows ever cross the wire.
-  n_chunks = padded // chunk
-  quota = min(chunk, -(-config.vis_num_rays // n_chunks))
-  perm_rng = np.random.default_rng(0 if rng is None else np.asarray(rng)[-1])
-
-  @jax.jit
-  def take_rows(tree, idx):
-    return jax.tree_util.tree_map(lambda x: x[idx], tree)
-
   chunks = []
   for idx0 in range(0, padded, chunk):
     chunk_rays = jax.tree_util.tree_map(lambda x: x[idx0:idx0 + chunk], rays)
@@ -75,13 +60,9 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
     # device_get happens ONCE after the loop: per-chunk fetches would
     # synchronize and serialize chunk execution.
     chunk_rendering = dict(chunk_renderings[-1])
-    bundle_keys = [k for k in chunk_renderings[0] if k.startswith('ray_')]
-    if bundle_keys:
-      pick = jnp.asarray(
-          perm_rng.permutation(chunk)[:quota].astype(np.int32))
-      for k in bundle_keys:
-        chunk_rendering[k] = take_rows([r[k] for r in chunk_renderings],
-                                       pick)
+    for k in chunk_renderings[0]:
+      if k.startswith('ray_'):
+        chunk_rendering[k] = [r[k] for r in chunk_renderings]
     chunks.append(chunk_rendering)
 
   chunks = jax.device_get(chunks)
@@ -100,8 +81,15 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
     if not k.startswith('ray_'):
       z = z[:num_rays]  # strip chunk padding
       rendering[k] = z.reshape((height, width) + z.shape[1:])
-    else:
-      rendering[k] = [r[:config.vis_num_rays] for r in rendering[k]]
+
+  # Deterministically subsample a fresh vis ray bundle from the concatenation.
+  keys = [k for k in rendering if k.startswith('ray_')]
+  if keys:
+    num_bundle_rays = rendering[keys[0]][0].shape[0]
+    perm_rng = np.random.default_rng(0 if rng is None else np.asarray(rng)[-1])
+    ray_idx = perm_rng.permutation(num_bundle_rays)[:config.vis_num_rays]
+    for k in keys:
+      rendering[k] = [r[ray_idx] for r in rendering[k]]
 
   return rendering
 
