@@ -92,6 +92,10 @@ class TrunkCfg(NamedTuple):
   cdt: str          # 'float32' | 'bfloat16' trunk compute dtype
   block: int
   interpret: bool
+  weights: int = 0  # >0: samples per ray; fuse the alpha-compositing
+                    # epilogue (sigma -> transmittance weights) in-kernel.
+                    # Requires density and block % weights == 0 so every
+                    # VMEM block holds whole rays (rows are ray-major).
 
 
 def skip_input_layers(depth: int, skip_period: int) -> Tuple[int, ...]:
@@ -204,7 +208,43 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
     d['bc'] = rr.take()        # (1, h_cdt) cdt
   if cfg.uproj:
     d['su'] = rr.take()        # (F, uproj) f32 scale-fold projection
+  if cfg.weights:
+    d['delta'] = rr.take()     # (blk, 1) f32 per-sample t-interval * |dir|
+    d['bsig'] = rr.take()      # (1, 1) f32 density-head + activation bias
   return d
+
+
+def _ray_masks(cfg: TrunkCfg):
+  """Block-diagonal strictly-lower ray mask for the transmittance scan.
+
+  Rows are ray-major/samples-minor, so a block of `block` rows holds
+  block // weights whole rays; L[i, j] = 1 iff j < i within the same ray.
+  The exclusive prefix sum over samples is then the MXU matmul L @ dd and
+  the backward's suffix sum is L^T @ x (reference compositing:
+  internal/render.py:132-149; oracle: tests/test_epilogue_design.py).
+  """
+  blk, s = cfg.block, cfg.weights
+  row = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+  same_ray = (row // s) == (col // s)
+  return jnp.where((col < row) & same_ray,
+                   jnp.float32(1), jnp.float32(0))
+
+
+def _epilogue_fwd(cfg: TrunkCfg, d, sig_raw):
+  """In-kernel compositing weights from the raw density column.
+
+  sigma = softplus(raw + bsig); dd = sigma * delta; w = alpha * trans.
+  Everything runs f32 ([blk, 1] columns + one [blk, blk] masked matmul).
+  Returns (w, trans, dd, sigma, raw_t).
+  """
+  raw_t = sig_raw + d['bsig'][:]
+  sigma = jax.nn.softplus(raw_t)
+  dd = sigma * d['delta'][:]
+  excl = _dot(_ray_masks(cfg), dd, ((1,), (0,)))
+  trans = jnp.exp(-excl)
+  alpha = 1.0 - jnp.exp(-dd)
+  return alpha * trans, trans, dd, sigma, raw_t
 
 
 def _segments(cfg: TrunkCfg, d, cdt):
@@ -291,6 +331,7 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
   c_ref = rr.take() if cfg.h_cdt else None
   u_refs = rr.take(1 if cfg.uproj else len(cfg.seg_dims)) \
       if cfg.density_grad else ()
+  w_ref = rr.take() if cfg.weights else None
 
   segs, trig = _segments(cfg, d, cdt)
   acts = _forward_trunk(cfg, d, segs, cdt)
@@ -299,7 +340,10 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
     y_ref[:] = y
   y32 = y.astype(jnp.float32)
   if cfg.density:
-    sig_ref[:] = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
+    sig_raw = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
+    sig_ref[:] = sig_raw
+    if cfg.weights:
+      w_ref[:] = _epilogue_fwd(cfg, d, sig_raw)[0]
   if cfg.h_f32:
     h_ref[:] = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
   if cfg.h_cdt:
@@ -334,6 +378,7 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
   hbar_ref = rr.take() if cfg.h_f32 else None
   cbar_ref = rr.take() if cfg.h_cdt else None
   ubar_refs = rr.take(1 if cfg.uproj else G) if cfg.density_grad else ()
+  wbar_ref = rr.take() if cfg.weights else None
   # Gradient outputs.
   dw0s = rr.take(G)
   dwas = rr.take(L - 1)
@@ -345,12 +390,13 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
   dwc_ref = rr.take() if cfg.h_cdt else None
   dbc_ref = rr.take() if cfg.h_cdt else None
   dx_refs = rr.take(G) if cfg.needs_dx else ()
+  dbsig_ref = rr.take() if cfg.weights else None
 
   @pl.when(pl.program_id(0) == 0)
   def _init():
     accs = (*dw0s, *dwas, *dwbs, dbs_ref)
     for r in accs + tuple(
-        r for r in (dwd_ref, dwh_ref, dbh_ref, dwc_ref, dbc_ref)
+        r for r in (dwd_ref, dwh_ref, dbh_ref, dwc_ref, dbc_ref, dbsig_ref)
         if r is not None):
       r[:] = jnp.zeros_like(r)
 
@@ -370,6 +416,22 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
     g = g + ybar_ref[:].astype(cdt)
   if cfg.density:
     sbar = sbar_ref[:]
+    if cfg.weights:
+      # Fold the weights cotangent into raw-density's before the trunk
+      # reverse: with dd_i = sigma_i delta_i, T_i = exp(-excl_i),
+      # w_i = (1 - exp(-dd_i)) T_i,
+      #   d w_i / d dd_i = T_i - w_i,  d w_i / d dd_k = -w_i (k < i)
+      # so ct_dd = wbar*(T - w) - suffix_sum(wbar*w) (suffix = L^T @ x),
+      # ct_raw = ct_dd * delta * sigmoid(raw + bsig) (softplus').
+      # Exactness vs jax.grad: tests/test_epilogue_design.py.
+      sig_raw = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
+      w, trans, _, _, raw_t = _epilogue_fwd(cfg, d, sig_raw)
+      wbar = wbar_ref[:]
+      suffix = _dot(_ray_masks(cfg), wbar * w, ((0,), (0,)))
+      ct_raw = ((wbar * (trans - w) - suffix) * d['delta'][:]
+                * jax.nn.sigmoid(raw_t))
+      sbar = sbar + ct_raw
+      dbsig_ref[:] += jnp.sum(ct_raw, axis=0, keepdims=True)
     g32 = sbar * d['wd'][:]
     dwd_ref[:] += _dot(sbar, y32, ((0,), (0,)))
   if cfg.h_f32:
@@ -513,7 +575,7 @@ def _make_op(cfg: TrunkCfg):
                    + W * (cfg.h_f32 + cfg.h_cdt + int(cfg.density)))
     return int(per * passes)
 
-  def _fwd(xs, *wargs):
+  def _fwd(xs, wargs, delta, bsig):
     b = xs[0].shape[0]
     grid = (b // cfg.block,)
     out_shape, out_specs = [], []
@@ -533,10 +595,16 @@ def _make_op(cfg: TrunkCfg):
       out_shape.append(jax.ShapeDtypeStruct((b, ud), jnp.float32))
       out_specs.append(_row_spec(cfg.block, ud))
     wvals, wspecs = _wrefs(wargs)
+    evals, especs = [], []
+    if cfg.weights:
+      out_shape.append(jax.ShapeDtypeStruct((b, 1), jnp.float32))
+      out_specs.append(_row_spec(cfg.block, 1))
+      evals = [delta, bsig]
+      especs = [_row_spec(cfg.block, 1), _full_spec((1, 1))]
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
-        in_specs=_xspecs(b) + wspecs,
+        in_specs=_xspecs(b) + wspecs + especs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=cfg.interpret,
@@ -545,10 +613,10 @@ def _make_op(cfg: TrunkCfg):
             bytes_accessed=int(sum(x.size * 4 for x in xs) * 2),
             transcendentals=int(3 * b * cfg.seg_dims[0]) if cfg.encode
             else 0),
-    )(*xs, *wvals)
+    )(*xs, *wvals, *evals)
     return tuple(outs)
 
-  def _bwd(xs, wargs, cots):
+  def _bwd(xs, wargs, delta, bsig, cots):
     b = xs[0].shape[0]
     grid = (b // cfg.block,)
     out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32)
@@ -572,6 +640,12 @@ def _make_op(cfg: TrunkCfg):
         out_shape.append(jax.ShapeDtypeStruct((b, sd), jnp.float32))
         out_specs.append(_row_spec(cfg.block, sd))
     wvals, wspecs = _wrefs(wargs)
+    evals, especs = [], []
+    if cfg.weights:
+      out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+      out_specs.append(_full_spec((1, 1)))
+      evals = [delta, bsig]
+      especs = [_row_spec(cfg.block, 1), _full_spec((1, 1))]
     cot_specs = []
     if cfg.out_y:
       cot_specs.append(_row_spec(cfg.block, W))
@@ -583,10 +657,12 @@ def _make_op(cfg: TrunkCfg):
       cot_specs.append(_row_spec(cfg.block, cfg.h_cdt))
     for ud in u_dims:
       cot_specs.append(_row_spec(cfg.block, ud))
+    if cfg.weights:
+      cot_specs.append(_row_spec(cfg.block, 1))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
-        in_specs=_xspecs(b) + wspecs + cot_specs,
+        in_specs=_xspecs(b) + wspecs + especs + cot_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=cfg.interpret,
@@ -595,7 +671,7 @@ def _make_op(cfg: TrunkCfg):
             bytes_accessed=int(sum(x.size * 4 for x in xs) * 3),
             transcendentals=int(3 * b * cfg.seg_dims[0]) if cfg.encode
             else 0),
-    )(*xs, *wvals, *cots)
+    )(*xs, *wvals, *evals, *cots)
     i = 0
     dw0s = tuple(outs[i:i + G]); i += G
     dwas = tuple(outs[i:i + L - 1]); i += L - 1
@@ -608,22 +684,30 @@ def _make_op(cfg: TrunkCfg):
       dwh = outs[i]; dbh = outs[i + 1]; i += 2
     if cfg.h_cdt:
       dwc = outs[i]; dbc = outs[i + 1]; i += 2
-    dxs = tuple(outs[i:i + G]) if cfg.needs_dx \
-        else tuple(jnp.zeros_like(x) for x in xs)
-    return dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc)
+    if cfg.needs_dx:
+      dxs = tuple(outs[i:i + G]); i += G
+    else:
+      dxs = tuple(jnp.zeros_like(x) for x in xs)
+    dbsig = None
+    if cfg.weights:
+      dbsig = outs[i]; i += 1
+    return dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc), dbsig
 
   @jax.custom_vjp
-  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su):
-    return _fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su)
+  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig):
+    return _fwd(xs, (w0s, was, wbs, bs, wd, wh, bh, wc, bc, su),
+                delta, bsig)
 
-  def op_fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su):
-    args = (xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su)
-    return _fwd(*args), args
+  def op_fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig):
+    args = (xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig)
+    return _fwd(xs, args[1:11], delta, bsig), args
 
   def op_bwd(res, cots):
-    xs, *wargs = res
-    dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc) = _bwd(
-        xs, tuple(wargs), cots)
+    xs = res[0]
+    wargs = tuple(res[1:11])
+    delta, bsig = res[11], res[12]
+    dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc), dbsig = _bwd(
+        xs, wargs, delta, bsig, cots)
     # Segment cotangents are emitted f32; match the primal dtypes.
     dxs = tuple(d.astype(x.dtype) for d, x in zip(dxs, xs))
     zero = lambda prim, g: jax.tree.map(jnp.zeros_like, prim) \
@@ -631,7 +715,10 @@ def _make_op(cfg: TrunkCfg):
     return (dxs, dw0s, dwas, dwbs, dbs,
             zero(res[5], dwd), zero(res[6], dwh), zero(res[7], dbh),
             zero(res[8], dwc), zero(res[9], dbc),
-            zero(res[10], None))
+            zero(res[10], None),
+            # delta carries no cotangent (tdist is stop-gradient at every
+            # level: resampling detaches sdist; ray dirs are data).
+            zero(delta, None), zero(bsig, dbsig))
 
   op.defvjp(op_fwd, op_bwd)
   return op
@@ -734,7 +821,7 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
 
   outs = list(_make_op(cfg)(
-      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, None))
+      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, None, None, None))
   res = []
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))
@@ -764,7 +851,8 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
                         skip_period=4, density_grad=False,
                         head_f32=None, head_cdt=None, out_y=False,
                         compute_dtype='float32', block=512,
-                        in_kernel_trig=False, interpret=None):
+                        in_kernel_trig=False, interpret=None,
+                        delta=None, act_bias=0.0):
   """Fused IPE trunk: x = [e*sin(m) | e*cos(m)], m/v the scale-lifted stats.
 
   `lm`/`lv` are the lifted means/vars, [..., n_basis] each; `scales` the
@@ -785,7 +873,17 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
     VPU (`TrunkCfg.encode`). Least HBM, but the fwd+bwd trig recompute
     costs more than the copies it saves at these shapes (-4%).
 
-  Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u].
+  Compositing epilogue (`delta` is not None): `delta` is the per-sample
+  [..., S] t-interval length * |ray dir| (the model clamps the
+  opaque-background interval to a large finite value instead of inf);
+  `act_bias` is the density activation bias (Config/MLP density_bias).
+  The kernel then also emits the transmittance compositing weights
+  w = alpha * trans of sigma = softplus(raw + bd + act_bias)
+  (reference internal/render.py:132-149) without sigma ever leaving
+  VMEM; requires wd, samples-contiguous rows, and block % S == 0.
+  Oracle for both directions: tests/test_epilogue_design.py.
+
+  Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u][, weights].
   """
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
@@ -797,6 +895,15 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
   width = kernels[-1].shape[-1]
   wh, bh = _head(*head_f32) if head_f32 else (None, None)
   wc, bc = _head(*head_cdt) if head_cdt else (None, None)
+  samples = 0
+  if delta is not None:
+    if wd is None:
+      raise ValueError('the compositing epilogue needs the density head')
+    samples = int(delta.shape[-1])
+    if block % samples:
+      raise ValueError(
+          f'fused compositing needs block % samples == 0, got '
+          f'{block} % {samples}')
   cfg = TrunkCfg(
       depth=depth, width=width, seg_dims=(F, F),
       skip_inputs=skip_input_layers(depth, skip_period),
@@ -805,7 +912,7 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
       h_f32=0 if wh is None else wh.shape[-1],
       h_cdt=0 if wc is None else wc.shape[-1],
       out_y=out_y, cdt=compute_dtype, block=block,
-      interpret=bool(interpret))
+      interpret=bool(interpret), weights=samples)
 
   lm = jax.lax.stop_gradient(lm).astype(jnp.float32)
   lv = jax.lax.stop_gradient(lv).astype(jnp.float32)
@@ -843,8 +950,15 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
   su = jnp.asarray(ipe_scale_fold(scales, nb))
 
+  dcol = bsig = None
+  if cfg.weights:
+    (dcol,), _ = _prep_rows((delta.astype(jnp.float32)[..., None],),
+                            n, block)
+    bsig = ((0.0 if bd is None else bd.astype(jnp.float32)[0])
+            + jnp.float32(act_bias)).reshape(1, 1)
+
   outs = list(_make_op(cfg)(
-      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, su))
+      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, su, dcol, bsig))
   res = []
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))
@@ -857,6 +971,8 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
     res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_cdt))
   if cfg.density_grad:
     res.append(outs.pop(0)[:n].reshape(*lead, nb))
+  if cfg.weights:
+    res.append(outs.pop(0)[:n, 0].reshape(lead))
   return res[0] if len(res) == 1 else tuple(res)
 
 

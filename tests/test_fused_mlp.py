@@ -291,3 +291,89 @@ def test_segmented_input_with_width1():
     scale = max(1e-3, float(jnp.max(jnp.abs(a))))
     np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=1e-3,
                                err_msg=jax.tree_util.keystr(path))
+
+
+def _ref_weights(sig, delta, act_bias):
+  """Plain-jnp compositing of the trunk's raw density (the epilogue's
+  contract; exactness of this form vs render.compute_alpha_weights is
+  pinned in tests/test_epilogue_design.py)."""
+  sigma = jax.nn.softplus(sig + act_bias)
+  dd = sigma * delta
+  # True exclusive cumsum: cumsum(dd) - dd would catastrophically cancel
+  # against the opaque-background 1e10 interval.
+  excl = jnp.concatenate(
+      [jnp.zeros_like(dd[..., :1]), jnp.cumsum(dd[..., :-1], axis=-1)], -1)
+  return (1.0 - jnp.exp(-dd)) * jnp.exp(-excl)
+
+
+@pytest.mark.parametrize('cdt', ['float32', 'bfloat16'])
+def test_encoded_trunk_fused_compositing_forward(cdt):
+  """In-kernel transmittance weights match plain compositing of sigma,
+  incl. rays packed 2-per-block (the block-diagonal scan mask) and an
+  opaque-background-style huge final interval."""
+  depth, width, nb, scales = 4, 128, 8, (1.0, 2.0, 4.0)
+  F = nb * len(scales)
+  kernels, biases, wd, bd = _params(jax.random.PRNGKey(40), depth, width,
+                                    2 * F)
+  rays, s = 6, 16
+  m = jax.random.normal(jax.random.PRNGKey(41), (rays, s, nb)) * 3.0
+  v = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(42),
+                                        (rays, s, nb)))
+  delta = jax.nn.softplus(
+      jax.random.normal(jax.random.PRNGKey(43), (rays, s))) * 0.1
+  delta = delta.at[:, -1].set(1e10)  # opaque background clamp
+
+  sig_ref = fused_mlp.reference_encoded_trunk(
+      m, v, scales, kernels, biases, wd, bd, out_y=False,
+      compute_dtype=cdt)
+  w_ref = _ref_weights(sig_ref, delta, act_bias=-1.0)
+
+  sig, w = fused_mlp.fused_encoded_trunk(
+      m, v, scales, kernels, biases, wd, bd, out_y=False,
+      compute_dtype=cdt, block=32, delta=delta, act_bias=-1.0)
+  tol = 2e-5 if cdt == 'float32' else 5e-2
+  np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                             atol=tol, rtol=tol)
+  # Weights sum to <= 1 per ray and the opaque background absorbs the rest.
+  np.testing.assert_allclose(np.asarray(jnp.sum(w, -1)), 1.0, atol=tol)
+
+
+def test_encoded_trunk_fused_compositing_gradients():
+  """Param grads through the in-kernel weights (their VJP folds into the
+  raw-density cotangent, incl. the bd/act-bias chain) match pure AD, with
+  the density-gradient (normals) path active alongside."""
+  depth, width, nb, scales = 4, 128, 8, (1.0, 2.0, 4.0)
+  F = nb * len(scales)
+  kernels, biases, wd, bd = _params(jax.random.PRNGKey(44), depth, width,
+                                    2 * F)
+  rays, s = 4, 16
+  m = jax.random.normal(jax.random.PRNGKey(45), (rays, s, nb)) * 3.0
+  v = jax.nn.softplus(jax.random.normal(jax.random.PRNGKey(46),
+                                        (rays, s, nb)))
+  delta = jax.nn.softplus(
+      jax.random.normal(jax.random.PRNGKey(47), (rays, s))) * 0.1
+
+  def loss_ref(params):
+    k, b, w, bb = params
+    sig, u = fused_mlp.reference_encoded_trunk(
+        m, v, scales, k, b, w, bb, density_grad=True, out_y=False)
+    wts = _ref_weights(sig, delta, act_bias=-1.0)
+    return (jnp.sum(jnp.sin(wts * 3.0)) + 0.1 * jnp.sum(jnp.tanh(sig)) +
+            jnp.sum(jnp.sqrt(jnp.sum(u * u, -1) + 1e-4)))
+
+  def loss_fused(params):
+    k, b, w, bb = params
+    sig, u, wts = fused_mlp.fused_encoded_trunk(
+        m, v, scales, k, b, w, bb, density_grad=True, out_y=False,
+        block=32, delta=delta, act_bias=-1.0)
+    return (jnp.sum(jnp.sin(wts * 3.0)) + 0.1 * jnp.sum(jnp.tanh(sig)) +
+            jnp.sum(jnp.sqrt(jnp.sum(u * u, -1) + 1e-4)))
+
+  params = (kernels, biases, wd, bd)
+  gr = jax.grad(loss_ref)(params)
+  gf = jax.grad(loss_fused)(params)
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gr),
+                          jax.tree.leaves(gf)):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(a, b, atol=3e-4 * scale, rtol=1e-3,
+                               err_msg=jax.tree_util.keystr(path))
