@@ -93,6 +93,12 @@ class MLP(nn.Module):
   density_activation: Callable[..., Any] = nn.softplus
   density_bias: float = -1.0
   density_noise: float = 0.0
+  # Compute the volume-compositing weights inside the fused spatial kernel
+  # (sigma never leaves VMEM; ops/pallas/fused_mlp.py epilogue). Takes
+  # effect only when the fused path dispatches, the model passes the
+  # per-sample `delta` intervals, density_activation is softplus, and
+  # density_noise is 0; otherwise the model composites in XLA as usual.
+  fuse_compositing: bool = False
   rgb_premultiplier: float = 1.0
   rgb_activation: Callable[..., Any] = nn.sigmoid
   rgb_bias: float = 0.0
@@ -207,7 +213,8 @@ class MLP(nn.Module):
       bs.append(v['bias'])
     return ks, bs
 
-  def _fused_spatial(self, means, covs, viewdirs, compute_density_normals):
+  def _fused_spatial(self, means, covs, viewdirs, compute_density_normals,
+                     delta=None):
     """Spatial stack on the fused Pallas kernel (ops/pallas/fused_mlp.py).
 
     One kernel evaluates the trunk over the IPE segments (one fused XLA
@@ -263,7 +270,8 @@ class MLP(nn.Module):
         lm, lv, scales, ks, bs, vd['kernel'], vd['bias'],
         skip_period=self.skip_layer, density_grad=compute_density_normals,
         head_f32=head_f32, head_cdt=head_cdt, out_y=need_y,
-        compute_dtype=self.compute_dtype, block=self._block())
+        compute_dtype=self.compute_dtype, block=self._block(),
+        delta=delta, act_bias=self.density_bias)
     outs = list(outs if isinstance(outs, tuple) else (outs,))
     y = outs.pop(0) if need_y else None
     raw_density = outs.pop(0)
@@ -280,6 +288,8 @@ class MLP(nn.Module):
     if compute_density_normals:
       u_lm = outs.pop(0)  # d sigma / d lifted-means, [..., n_basis]
       normals = -ref_utils.l2_normalize(jnp.matmul(u_lm, basis.T))
+    if delta is not None:
+      fh['comp_weights'] = outs.pop(0)
     return y, raw_density, fh, normals
 
   def run_spatial_net(self, x):
@@ -310,7 +320,7 @@ class MLP(nn.Module):
     return raw_density, x
 
   def __call__(self, gaussians, viewdirs=None, imageplane=None, train=False,
-               rng=None):
+               rng=None, delta=None):
     """Evaluate the MLP on sample Gaussians.
 
     Args:
@@ -320,6 +330,10 @@ class MLP(nn.Module):
       imageplane: [..., 2] image-plane coords (unused; parity surface).
       train: density-gradient normals and noise only apply in training.
       rng: PRNGKey for density/bottleneck noise (None disables noise).
+      delta: optional [..., s] per-sample t-interval * |ray dir| (opaque
+        background pre-clamped to a large finite value). With
+        `fuse_compositing` and the fused spatial path this yields
+        ray_results['weights'] from the in-kernel compositing epilogue.
 
     Returns:
       dict of per-sample results: density, rgb, and conditionally normals,
@@ -333,10 +347,17 @@ class MLP(nn.Module):
         not self.disable_density_normals
         and (train or (self.use_reflections and not self.enable_pred_normals)))
 
+    if not (self.fuse_compositing and delta is not None
+            and self.density_noise == 0
+            and self.density_activation in (nn.softplus, jax.nn.softplus)
+            and delta.shape[-1] > 0
+            and self._block() % delta.shape[-1] == 0):
+      delta = None  # compositing stays in XLA (render.compute_alpha_weights)
+
     fh = None
     if self._fused(self.net_depth):
       x, raw_density, fh, normals = self._fused_spatial(
-          means, covs, viewdirs, compute_density_normals)
+          means, covs, viewdirs, compute_density_normals, delta=delta)
     elif compute_density_normals:
       # Nested AD: d(sum raw_density)/d(means) gives per-sample density
       # gradients in one fused backward (covs are independent of means).
@@ -497,6 +518,11 @@ class MLP(nn.Module):
       rgb = rgb * (1 + 2 * self.rgb_padding) - self.rgb_padding
 
     ray_results = dict(density=density, rgb=rgb)
+    if fh is not None and 'comp_weights' in fh:
+      # In-kernel compositing weights (exactly compute_alpha_weights of
+      # `density` by the oracle tests); the model uses these instead of
+      # recompositing in XLA.
+      ray_results['weights'] = fh['comp_weights']
     if not self.disable_density_normals:
       ray_results['normals'] = normals
     if self.enable_pred_normals:

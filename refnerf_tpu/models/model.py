@@ -140,6 +140,17 @@ class Model(nn.Module):
         rng, key_mlp = jax.random.split(rng)
       else:
         key_mlp = None
+      delta = None
+      if getattr(mlp, 'fuse_compositing', False):
+        # Per-sample interval * |dir| for the in-kernel compositing
+        # epilogue (the delta of render.compute_alpha_weights); the
+        # opaque-background infinite final interval is clamped to a large
+        # finite value (identical weights for any sigma >= 1e-28).
+        delta = (tdist[..., 1:] - tdist[..., :-1]) * jnp.linalg.norm(
+            rays.directions[..., None, :], axis=-1)
+        if self.opaque_background:
+          delta = jnp.concatenate(
+              [delta[..., :-1], jnp.full_like(delta[..., -1:], 1e10)], -1)
       # Positional call so nn.remat's static_argnums can pin `train`
       # (construct.py wraps MLP in nn.remat when Model.remat is bound).
       ray_results = mlp(
@@ -147,11 +158,14 @@ class Model(nn.Module):
           rays.viewdirs if self.use_viewdirs else None,
           rays.imageplane,
           train,
-          key_mlp)
+          key_mlp,
+          delta)
 
-      weights = render.compute_alpha_weights(
-          ray_results['density'], tdist, rays.directions,
-          opaque_background=self.opaque_background)[0]
+      weights = ray_results.pop('weights', None)
+      if weights is None:
+        weights = render.compute_alpha_weights(
+            ray_results['density'], tdist, rays.directions,
+            opaque_background=self.opaque_background)[0]
 
       if self.render_with_specular_density:
         if 'specular_density' not in ray_results:

@@ -220,3 +220,65 @@ def test_no_viewdirs_match(train):
       continue
     np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
                                err_msg=k)
+
+
+def test_fuse_compositing_matches_xla_weights():
+  """fuse_compositing must be a pure performance knob: the in-kernel
+  weights and the loss gradients through them equal XLA compositing of
+  the plain path's density (render.compute_alpha_weights)."""
+  from refnerf_tpu.models import render
+
+  # 8 samples divides fused_block=16, so the epilogue dispatches.
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(7), n_samples=8)
+  n_rays, n_samples = gaussians[0].shape[:2]
+  key_t, key_d = jax.random.split(jax.random.PRNGKey(8))
+  tdist = jnp.sort(jax.random.uniform(key_t, (n_rays, n_samples + 1),
+                                      minval=2.0, maxval=6.0), axis=-1)
+  dirs = jax.random.normal(key_d, (n_rays, 3))
+  delta = (tdist[..., 1:] - tdist[..., :-1]) * jnp.linalg.norm(
+      dirs[..., None, :], axis=-1)
+
+  mlp = MLP(**MLP_KW, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(9)}, gaussians,
+                    viewdirs, train=False)['params']
+
+  def run(params, mode, fuse):
+    mlp = MLP(**{**MLP_KW, 'fused_trunk': mode, 'fuse_compositing': fuse})
+    return mlp.apply({'params': params}, gaussians, viewdirs, train=True,
+                     delta=delta if fuse else None)
+
+  ref = run(params, 'off', False)
+  w_ref = render.compute_alpha_weights(ref['density'], tdist, dirs)[0]
+  out = run(params, 'on', True)
+  assert 'weights' in out, 'epilogue did not dispatch'
+  np.testing.assert_allclose(out['weights'], w_ref, atol=2e-5, rtol=2e-4)
+
+  def loss(params, mode, fuse):
+    r = run(params, mode, fuse)
+    w = r['weights'] if fuse else render.compute_alpha_weights(
+        r['density'], tdist, dirs)[0]
+    return (jnp.sum(jnp.sin(3.0 * w)) + jnp.mean(r['density']) +
+            jnp.mean(jnp.sum(r['normals'] * r['normals_pred'], axis=-1)))
+
+  g_ref = jax.grad(loss)(params, 'off', False)
+  g_fus = jax.grad(loss)(params, 'on', True)
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                          jax.tree.leaves(g_fus)):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(a, b, atol=3e-4 * scale, rtol=1e-3,
+                               err_msg=jax.tree_util.keystr(path))
+
+
+def test_fuse_compositing_gate_falls_back():
+  """Non-dividing sample counts (9 % 16) must silently fall back to XLA
+  compositing: no 'weights' key, everything else unchanged."""
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(10))  # 9 samples
+  n_rays, n_samples = gaussians[0].shape[:2]
+  delta = jnp.ones((n_rays, n_samples)) * 0.1
+  mlp = MLP(**MLP_KW, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(11)}, gaussians,
+                    viewdirs, train=False)['params']
+  out = MLP(**{**MLP_KW, 'fused_trunk': 'on', 'fuse_compositing': True}
+            ).apply({'params': params}, gaussians, viewdirs, train=True,
+                    delta=delta)
+  assert 'weights' not in out
