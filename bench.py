@@ -39,6 +39,11 @@ GIN = os.environ.get('BENCH_GIN')
 # BENCH_FWD=1: measure the inference forward (no gradients, eval mode) -
 # the serving-throughput number - instead of the train step.
 FWD_ONLY = os.environ.get('BENCH_FWD', '0') == '1'
+# BENCH_BINDINGS: extra gin bindings, ';'-separated, applied last - e.g.
+#   BENCH_BINDINGS='NerfMLP.fuse_compositing = True' python bench.py
+# for kernel-feature A/Bs without authoring a one-off gin file.
+EXTRA_BINDINGS = [b.strip() for b in
+                  os.environ.get('BENCH_BINDINGS', '').split(';') if b.strip()]
 
 
 def main():
@@ -59,7 +64,8 @@ def main():
       [f'Config.batch_size = {BATCH_SIZE}',
        'Config.randomized = False'] +
       ([] if GIN else ['Config.sample_noise_size = 0']) +
-      (["NerfMLP.compute_dtype = 'bfloat16'"] if MODE == 'bf16' else []))
+      (["NerfMLP.compute_dtype = 'bfloat16'"] if MODE == 'bf16' else []) +
+      EXTRA_BINDINGS)
 
   model = construct.construct_model(config, gin)
   params = construct.init_params(jax.random.PRNGKey(0), model)

@@ -99,6 +99,12 @@ class MLP(nn.Module):
   # per-sample `delta` intervals, density_activation is softplus, and
   # density_noise is 0; otherwise the model composites in XLA as usual.
   fuse_compositing: bool = False
+  # Compute the integrated directional encoding inside the fused directional
+  # kernel (refdirs/kappa_inv go in instead of the 2P-wide IDE, which never
+  # materializes in HBM; ops/pallas/fused_mlp.py `ide` mode). Takes effect
+  # only when the fused directional path dispatches and
+  # use_directional_enc is set; otherwise the encoding runs in XLA as usual.
+  fuse_dir_enc: bool = False
   rgb_premultiplier: float = 1.0
   rgb_activation: Callable[..., Any] = nn.sigmoid
   rgb_bias: float = 0.0
@@ -431,6 +437,10 @@ class MLP(nn.Module):
         # bf16 was measured slightly slower than letting the kernel cast.)
         fused_dir = bool(self.viewdir_mlp) and self._fused(
             self.net_depth_viewdirs)
+        # In-kernel IDE: the [.., 2P] encoding (and its relayout copies and
+        # backward) never materializes; the kernel reads refdirs/kappa_inv.
+        fuse_ide = (fused_dir and self.fuse_dir_enc
+                    and self.use_directional_enc)
         lead = means.shape[:-1]
         flat = ((lambda t: t.reshape((-1,) + t.shape[len(lead):]))
                 if fused_dir else (lambda t: t))
@@ -448,17 +458,30 @@ class MLP(nn.Module):
         else:
           x = []
 
+        enc_dirs = None
         if self.use_reflections:
           # viewdirs point camera->point; flip so refdirs point outward.
           refdirs = ref_utils.reflect(-viewdirs[..., None, :], normals_to_use)
-          dir_enc = self.dir_enc_fn(refdirs, roughness)
+          if fuse_ide:
+            enc_dirs = refdirs
+          else:
+            dir_enc = self.dir_enc_fn(refdirs, roughness)
+        elif fuse_ide:
+          enc_dirs = jnp.broadcast_to(viewdirs[..., None, :],
+                                      means.shape[:-1] + (3,))
         else:
           dir_enc = self.dir_enc_fn(viewdirs, roughness)
           dir_enc = jnp.broadcast_to(
               dir_enc[..., None, :],
               means.shape[:-1] + (dir_enc.shape[-1],))
 
-        x.append(flat(dir_enc))
+        ide_at = len(x)
+        if fuse_ide:
+          kappa_inv = (roughness if self.enable_pred_roughness
+                       else jnp.zeros_like(enc_dirs[..., :1]))
+          x.append((flat(enc_dirs), flat(kappa_inv)))
+        else:
+          x.append(flat(dir_enc))
 
         if self.use_n_dot_v:
           dotprod = jnp.sum(
@@ -474,7 +497,8 @@ class MLP(nn.Module):
           raw_rgb = fused_mlp.fused_trunk(
               x, ks, bs, head_f32=(rp['kernel'], rp['bias']), out_y=False,
               skip_period=self.skip_layer, needs_dx=True,
-              compute_dtype=self.compute_dtype, block=self._block())
+              compute_dtype=self.compute_dtype, block=self._block(),
+              ide_deg=self.deg_view if fuse_ide else 0, ide_at=ide_at)
           raw_rgb = raw_rgb.reshape(lead + (self.num_rgb_channels,))
         else:
           x = jnp.concatenate(x, axis=-1)

@@ -96,6 +96,15 @@ class TrunkCfg(NamedTuple):
                     # epilogue (sigma -> transmittance weights) in-kernel.
                     # Requires density and block % weights == 0 so every
                     # VMEM block holds whole rays (rows are ray-major).
+  ide: int = 0      # >0: deg_view of an in-kernel integrated directional
+                    # encoding. The segment pair at (ide_at, ide_at + 1)
+                    # (the re/im IDE halves, P wide each) is computed in
+                    # VMEM from two inputs that replace it positionally:
+                    # refdirs [blk, 3] and kappa_inv [blk, 1]
+                    # (ref_utils.generate_ide_fn semantics). needs_dx emits
+                    # d/d refdirs and d/d kappa_inv via the closed-form
+                    # complex-power derivative d(x+iy)^m = m (x+iy)^(m-1).
+  ide_at: int = -1  # index of the first IDE segment in seg_dims
 
 
 def skip_input_layers(depth: int, skip_period: int) -> Tuple[int, ...]:
@@ -208,10 +217,125 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
     d['bc'] = rr.take()        # (1, h_cdt) cdt
   if cfg.uproj:
     d['su'] = rr.take()        # (F, uproj) f32 scale-fold projection
+  if cfg.ide:
+    d['mat'] = rr.take()       # (l_max+1, P) f32 SH z-coefficients
+    d['sg'] = rr.take()        # (1, P) f32 vMF attenuation sigmas
+    d['gm'] = rr.take()        # (l_max+1, P) {0,1} power-gather matrix
   if cfg.weights:
     d['delta'] = rr.take()     # (blk, 1) f32 per-sample t-interval * |dir|
     d['bsig'] = rr.take()      # (1, 1) f32 density-head + activation bias
   return d
+
+
+def _in_dims(cfg: TrunkCfg) -> Tuple[int, ...]:
+  """Per-input trailing dims: seg widths, with the IDE segment pair
+  positionally replaced by its raw inputs (refdirs 3, kappa_inv 1)."""
+  if not cfg.ide:
+    return cfg.seg_dims
+  dims = list(cfg.seg_dims)
+  dims[cfg.ide_at] = 3
+  dims[cfg.ide_at + 1] = 1
+  return tuple(dims)
+
+
+def _onehot_row(i, k):
+  """[1, k] f32 one-hot at column i, generated in-kernel (pallas kernels
+  may not capture array constants; iota + where is the Mosaic-safe idiom,
+  cf. _ray_masks)."""
+  lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+  return jnp.where(lane == i, jnp.float32(1), jnp.float32(0))
+
+
+def _cols_to_stack(cols):
+  """Stack [blk, 1] columns into [blk, K] by a one-hot FMA chain.
+
+  Mosaic-friendly alternative to a minor-axis concatenate: each step is a
+  [blk, 1] x [1, K] broadcast multiply-add (K <= 17 here - trivial VPU
+  work), with no lane relayouts.
+  """
+  k = len(cols)
+  out = None
+  for i, c in enumerate(cols):
+    t = c * _onehot_row(i, k)
+    out = t if out is None else out + t
+  return out
+
+
+def _ide_powers(cfg: TrunkCfg, d):
+  """Running-product power columns for the in-kernel IDE.
+
+  Returns (z, ki, vmz_cols, re_cols, im_cols): vmz_cols[k] = z^k and
+  (re+i im)_cols[m] = (x+iy)^m as [blk, 1] f32 columns, k,m in
+  [0, l_max]. Mirrors ref_utils.generate_ide_fn's recurrences.
+  """
+  rd = _f32(d['segs'][cfg.ide_at][:])       # [blk, 3] refdirs
+  ki = _f32(d['segs'][cfg.ide_at + 1][:])   # [blk, 1] kappa_inv
+  x, y, z = rd[:, 0:1], rd[:, 1:2], rd[:, 2:3]
+  l_max = 2 ** (cfg.ide - 1)
+  vmz_cols = [jnp.ones_like(z)]
+  re_cols = [jnp.ones_like(x)]
+  im_cols = [jnp.zeros_like(x)]
+  for _ in range(l_max):
+    vmz_cols.append(vmz_cols[-1] * z)
+    re_p, im_p = re_cols[-1], im_cols[-1]
+    re_cols.append(re_p * x - im_p * y)
+    im_cols.append(re_p * y + im_p * x)
+  return z, ki, vmz_cols, re_cols, im_cols
+
+
+def _ide_fwd(cfg: TrunkCfg, d):
+  """In-kernel IDE: (re_ide, im_ide) [blk, P] f32 + backward residuals.
+
+  re_ide + i im_ide = (x+iy)^m * (sum_k c_k z^k) * exp(-sigma kappa_inv)
+  per (m, l) harmonic (ref_utils.py generate_ide_fn, reference
+  internal/ref_utils.py:96-151). The power gathers and the z-polynomial
+  contraction run as [blk, l_max+1] @ [l_max+1, P] MXU dots.
+  """
+  z, ki, vmz_cols, re_cols, im_cols = _ide_powers(cfg, d)
+  vmz = _cols_to_stack(vmz_cols)
+  re_st = _cols_to_stack(re_cols)
+  im_st = _cols_to_stack(im_cols)
+  zp = _dot(vmz, d['mat'][:], ((1,), (0,)))
+  rev = _dot(re_st, d['gm'][:], ((1,), (0,)))
+  imv = _dot(im_st, d['gm'][:], ((1,), (0,)))
+  at = jnp.exp(-ki * d['sg'][:])            # [blk,1] x [1,P] broadcast
+  zpat = zp * at
+  aux = (rev, imv, zp, at, vmz_cols, re_cols, im_cols)
+  return rev * zpat, imv * zpat, aux
+
+
+def _ide_bwd(cfg: TrunkCfg, d, aux, g_re, g_im):
+  """Closed-form IDE input cotangents: (d_refdirs [blk,3], d_ki [blk,1]).
+
+  d Re((x+iy)^m)/dx = m Re^(m-1), /dy = -m Im^(m-1);
+  d Im((x+iy)^m)/dx = m Im^(m-1), /dy = m Re^(m-1);
+  d z^k/dz = k z^(k-1); d atten/d kappa_inv = -sigma * atten.
+  Oracle: tests/test_fused_mlp.py IDE cases vs jax.grad of
+  ref_utils.generate_ide_fn.
+  """
+  rev, imv, zp, at, vmz_cols, re_cols, im_cols = aux
+  lm1 = 2 ** (cfg.ide - 1) + 1
+  zpat = zp * at
+  gmix = g_re * rev + g_im * imv
+  # kappa_inv: -(sum over P of (g.ide) * sigma).
+  d_ki = -_dot(gmix * zpat, d['sg'][:], ((1,), (1,)))
+  # z-polynomial chain back to the power stacks.
+  d_zp = gmix * at
+  d_vmz = _dot(d_zp, d['mat'][:], ((1,), (1,)))
+  d_re_st = _dot(g_re * zpat, d['gm'][:], ((1,), (1,)))
+  d_im_st = _dot(g_im * zpat, d['gm'][:], ((1,), (1,)))
+  # Shifted stacks (col m holds power m-1; col 0 is zero) x the power index.
+  mar = jax.lax.broadcasted_iota(jnp.float32, (1, lm1), 1)
+  zero = jnp.zeros_like(vmz_cols[0])
+  vmz_s = _cols_to_stack([zero] + vmz_cols[:-1])
+  re_s = _cols_to_stack([zero] + re_cols[:-1])
+  im_s = _cols_to_stack([zero] + im_cols[:-1])
+  d_x = jnp.sum((d_re_st * re_s + d_im_st * im_s) * mar, -1, keepdims=True)
+  d_y = jnp.sum((d_im_st * re_s - d_re_st * im_s) * mar, -1, keepdims=True)
+  d_z = jnp.sum(d_vmz * vmz_s * mar, -1, keepdims=True)
+  d_rd = (d_x * _onehot_row(0, 3) + d_y * _onehot_row(1, 3)
+          + d_z * _onehot_row(2, 3))
+  return d_rd, d_ki
 
 
 def _ray_masks(cfg: TrunkCfg):
@@ -255,7 +379,21 @@ def _segments(cfg: TrunkCfg, d, cdt):
   (exact binary multipliers), but a default bf16 MXU pass would truncate
   lm's mantissa before scaling - at scale 2^15 that is a catastrophic phase
   error in sin/cos. The 3-pass f32 decomposition keeps the products exact.
+
+  IDE mode (`cfg.ide`): the second return value is the IDE backward
+  residuals instead of trig intermediates.
   """
+  if cfg.ide:
+    re_ide, im_ide, aux = _ide_fwd(cfg, d)
+    segs = []
+    for j in range(len(cfg.seg_dims)):
+      if j == cfg.ide_at:
+        segs.append(re_ide.astype(cdt))
+      elif j == cfg.ide_at + 1:
+        segs.append(im_ide.astype(cdt))
+      else:
+        segs.append(d['segs'][j][:].astype(cdt))
+    return segs, aux
   if not cfg.encode:
     return [s[:].astype(cdt) for s in d['segs']], None
   hi = jax.lax.Precision.HIGHEST
@@ -474,6 +612,13 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
           dxs[j] = dxs[j] + _seg_dot_t(zeta, d['wbs'][skip_ix[l] * G + j][:])
       g = _dot(zeta, d['was'][l - 1][:], ((1,), (1,))).astype(cdt)
   if cfg.needs_dx:
+    if cfg.ide:
+      # Pull the encoding cotangents back through the in-kernel IDE to the
+      # raw refdirs / kappa_inv inputs.
+      d_rd, d_ki = _ide_bwd(cfg, d, trig, dxs[cfg.ide_at],
+                            dxs[cfg.ide_at + 1])
+      dxs[cfg.ide_at] = d_rd
+      dxs[cfg.ide_at + 1] = d_ki
     for j in range(G):
       dx_refs[j][:] = dxs[j]
 
@@ -548,7 +693,7 @@ def _make_op(cfg: TrunkCfg):
 
   def _wrefs(d_args):
     """Weight arg values + specs, canonical order, cast appropriately."""
-    w0s, was, wbs, bs, wd, wh, bh, wc, bc, su = d_args
+    w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, idec = d_args
     args = [*_cast(w0s), *_cast(was), *_cast(wbs), _cast(bs)]
     specs = ([_full_spec(s) for s in w0_sh] + [_full_spec(s) for s in wa_sh]
              + [_full_spec(s) for s in wb_sh] + [_full_spec((L, W))])
@@ -563,12 +708,15 @@ def _make_op(cfg: TrunkCfg):
     if cfg.uproj:
       args.append(su)
       specs.append(_full_spec((cfg.seg_dims[0], cfg.uproj)))
+    if cfg.ide:
+      args += list(idec)
+      specs += [_full_spec(a.shape) for a in idec]
     return args, specs
 
   def _xspecs(b):
     if cfg.encode:
       return [_row_spec(cfg.block, cfg.uproj)] * 2
-    return [_row_spec(cfg.block, sd) for sd in cfg.seg_dims]
+    return [_row_spec(cfg.block, sd) for sd in _in_dims(cfg)]
 
   def _flops(b, passes):
     per = 2 * b * (sum(np.prod(s) for s in w0_sh + wa_sh + wb_sh)
@@ -636,7 +784,7 @@ def _make_op(cfg: TrunkCfg):
                     jax.ShapeDtypeStruct((1, cfg.h_cdt), jnp.float32)]
       out_specs += [_full_spec((W, cfg.h_cdt)), _full_spec((1, cfg.h_cdt))]
     if cfg.needs_dx:
-      for sd in cfg.seg_dims:
+      for sd in _in_dims(cfg):
         out_shape.append(jax.ShapeDtypeStruct((b, sd), jnp.float32))
         out_specs.append(_row_spec(cfg.block, sd))
     wvals, wspecs = _wrefs(wargs)
@@ -694,17 +842,19 @@ def _make_op(cfg: TrunkCfg):
     return dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc), dbsig
 
   @jax.custom_vjp
-  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig):
-    return _fwd(xs, (w0s, was, wbs, bs, wd, wh, bh, wc, bc, su),
+  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig, idec):
+    return _fwd(xs, (w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, idec),
                 delta, bsig)
 
-  def op_fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig):
-    args = (xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig)
-    return _fwd(xs, args[1:11], delta, bsig), args
+  def op_fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig,
+             idec):
+    args = (xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig,
+            idec)
+    return _fwd(xs, args[1:11] + (idec,), delta, bsig), args
 
   def op_bwd(res, cots):
     xs = res[0]
-    wargs = tuple(res[1:11])
+    wargs = tuple(res[1:11]) + (res[13],)
     delta, bsig = res[11], res[12]
     dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc), dbsig = _bwd(
         xs, wargs, delta, bsig, cots)
@@ -718,7 +868,9 @@ def _make_op(cfg: TrunkCfg):
             zero(res[10], None),
             # delta carries no cotangent (tdist is stop-gradient at every
             # level: resampling detaches sdist; ray dirs are data).
-            zero(delta, None), zero(bsig, dbsig))
+            zero(delta, None), zero(bsig, dbsig),
+            # IDE constants are trace-time tables.
+            zero(res[13], None))
 
   op.defvjp(op_fwd, op_bwd)
   return op
@@ -766,10 +918,28 @@ def _head(w, b=None):
   return w, b
 
 
+def ide_tables(deg_view: int):
+  """(mat, sigma_row, gather) trace-time tables for the in-kernel IDE.
+
+  mat [l_max+1, P] are the SH z-polynomial coefficients, sigma_row [1, P]
+  the vMF attenuation exponents, gather [l_max+1, P] the {0,1} matrix
+  selecting power m_i of (x+iy) for harmonic i (so the power stack gathers
+  are MXU dots).
+  """
+  from refnerf_tpu.ops import ref_utils  # local: avoid import cycles
+  ml_array, mat, sigma = ref_utils._ide_constants(deg_view)
+  l_max = 2 ** (deg_view - 1)
+  gm = np.zeros((l_max + 1, ml_array.shape[1]), np.float32)
+  for i, m in enumerate(ml_array[0]):
+    gm[int(m), i] = 1.0
+  return mat, sigma.reshape(1, -1), gm
+
+
 def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
                 skip_period=4, density_grad=False, needs_dx=False,
                 head_f32=None, head_cdt=None, out_y=None,
-                compute_dtype='float32', block=512, interpret=None):
+                compute_dtype='float32', block=512, interpret=None,
+                ide_deg=0, ide_at=0):
   """Fused trunk on flax-shaped parameters, segmented input.
 
   Args:
@@ -790,6 +960,14 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
     compute_dtype: trunk matmul dtype ('float32' | 'bfloat16').
     block: samples per VMEM block.
     interpret: force Pallas interpreter mode (defaults to CPU backend).
+    ide_deg: >0 computes the integrated directional encoding in-kernel:
+      x[ide_at] is then a (refdirs [..., 3], kappa_inv [..., 1]) pair whose
+      IDE (2P wide, P = harmonics of deg_view=ide_deg) forms two trunk
+      segments in place, re half then im half - exactly
+      ref_utils.generate_ide_fn(ide_deg)(refdirs, kappa_inv)'s layout. The
+      XLA-side encoding, its [.., 2P] relayout copies, and its backward
+      never materialize; needs_dx emits d/d refdirs and d/d kappa_inv.
+    ide_at: segment position of the IDE pair within x.
 
   Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u per segment],
   or the single y array when only y is produced.
@@ -797,7 +975,22 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
   segs = list(x) if isinstance(x, (list, tuple)) else [x]
-  seg_dims = tuple(int(s.shape[-1]) for s in segs)
+  idec = None
+  if ide_deg:
+    if density_grad:
+      raise ValueError('in-kernel IDE supports first-order trunks only')
+    rd, ki = segs[ide_at]
+    mat, sg, gm = ide_tables(ide_deg)
+    p = mat.shape[1]
+    idec = (jnp.asarray(mat), jnp.asarray(sg), jnp.asarray(gm))
+    # Inputs at the IDE slot are (refdirs, kappa_inv); the trunk-visible
+    # segments there are the re/im halves, P wide each.
+    segs[ide_at:ide_at + 1] = [rd, ki]
+    seg_dims = tuple(
+        p if j in (ide_at, ide_at + 1) else int(s.shape[-1])
+        for j, s in enumerate(segs))
+  else:
+    seg_dims = tuple(int(s.shape[-1]) for s in segs)
   depth = len(kernels)
   width = kernels[-1].shape[-1]
   wh, bh = _head(*head_f32) if head_f32 else (None, None)
@@ -812,7 +1005,8 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
       h_f32=0 if wh is None else wh.shape[-1],
       h_cdt=0 if wc is None else wc.shape[-1],
       out_y=out_y, cdt=compute_dtype, block=block,
-      interpret=bool(interpret))
+      interpret=bool(interpret),
+      ide=int(ide_deg), ide_at=ide_at if ide_deg else -1)
 
   lead = segs[0].shape[:-1]
   n = int(np.prod(lead)) if lead else 1
@@ -821,7 +1015,7 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
 
   outs = list(_make_op(cfg)(
-      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, None, None, None))
+      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, None, None, None, idec))
   res = []
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))
@@ -958,7 +1152,7 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
             + jnp.float32(act_bias)).reshape(1, 1)
 
   outs = list(_make_op(cfg)(
-      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, su, dcol, bsig))
+      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, su, dcol, bsig, None))
   res = []
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))

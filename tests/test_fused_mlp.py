@@ -377,3 +377,99 @@ def test_encoded_trunk_fused_compositing_gradients():
     scale = max(1e-3, float(jnp.max(jnp.abs(a))))
     np.testing.assert_allclose(a, b, atol=3e-4 * scale, rtol=1e-3,
                                err_msg=jax.tree_util.keystr(path))
+
+
+# ---------------------------------------------------------------------------
+# In-kernel integrated directional encoding (TrunkCfg.ide).
+
+
+def _ide_inputs(key, n, deg):
+  k1, k2, k3, k4 = jax.random.split(key, 4)
+  rd = jax.random.normal(k1, (n, 3))
+  rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+  ki = jax.nn.softplus(jax.random.normal(k2, (n, 1)))
+  seg0 = jax.random.normal(k3, (n, 24))
+  dot = jax.random.normal(k4, (n, 1))
+  return seg0, rd, ki, dot
+
+
+def _ide_enc(deg, rd, ki):
+  from refnerf_tpu.ops import ref_utils
+  return ref_utils.generate_ide_fn(deg)(rd, ki)
+
+
+@pytest.mark.parametrize('deg,cdt', [(3, 'float32'), (5, 'float32'),
+                                     (5, 'bfloat16')])
+def test_ide_trunk_forward_matches(deg, cdt):
+  """IDE computed in-kernel == XLA generate_ide_fn feeding the trunk."""
+  p2 = 2 * fused_mlp.ide_tables(deg)[0].shape[1]
+  fin = 24 + p2 + 1
+  kernels, biases, _, _ = _params(jax.random.PRNGKey(50), 4, 64, fin,
+                                  head=False)
+  wh = jax.random.normal(jax.random.PRNGKey(51), (64, 3)) / 8.0
+  bh = jax.random.normal(jax.random.PRNGKey(52), (3,)) * 0.01
+  seg0, rd, ki, dot = _ide_inputs(jax.random.PRNGKey(53), 67, deg)
+
+  enc = _ide_enc(deg, rd, ki)
+  ref = fused_mlp.reference_trunk([seg0, enc, dot], kernels, biases,
+                                  head_f32=(wh, bh), compute_dtype=cdt)
+  out = fused_mlp.fused_trunk([seg0, (rd, ki), dot], kernels, biases,
+                              head_f32=(wh, bh), out_y=True,
+                              compute_dtype=cdt, block=32,
+                              ide_deg=deg, ide_at=1)
+  tol = 1e-5 if cdt == 'float32' else 5e-2
+  for a, b, name in zip(ref, out, ('y', 'h')):
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32),
+                               atol=tol, rtol=tol, err_msg=name)
+
+
+@pytest.mark.parametrize('deg', [3, 5])
+def test_ide_trunk_gradients_match(deg):
+  """d loss/d {refdirs, kappa_inv, segments, params} vs jax AD through
+  ref_utils.generate_ide_fn + the plain trunk."""
+  p2 = 2 * fused_mlp.ide_tables(deg)[0].shape[1]
+  fin = 24 + p2 + 1
+  kernels, biases, _, _ = _params(jax.random.PRNGKey(54), 4, 64, fin,
+                                  head=False)
+  wh = jax.random.normal(jax.random.PRNGKey(55), (64, 3)) / 8.0
+  bh = jax.random.normal(jax.random.PRNGKey(56), (3,)) * 0.01
+  seg0, rd, ki, dot = _ide_inputs(jax.random.PRNGKey(57), 53, deg)
+
+  def loss_ref(params, seg0, rd, ki, dot):
+    k, b = params
+    enc = _ide_enc(deg, rd, ki)
+    _, h = fused_mlp.reference_trunk([seg0, enc, dot], k, b,
+                                     head_f32=(wh, bh))
+    return jnp.sum(jnp.sin(h * 0.7))
+
+  def loss_fused(params, seg0, rd, ki, dot):
+    k, b = params
+    _, h = fused_mlp.fused_trunk([seg0, (rd, ki), dot], k, b,
+                                 head_f32=(wh, bh), out_y=True,
+                                 needs_dx=True, block=32,
+                                 ide_deg=deg, ide_at=1)
+    return jnp.sum(jnp.sin(h * 0.7))
+
+  args = ((kernels, biases), seg0, rd, ki, dot)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+  gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gr),
+                          jax.tree.leaves(gf)):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-4,
+                               err_msg=jax.tree_util.keystr(path))
+
+
+def test_ide_trunk_no_bottleneck_slot_zero():
+  """ide_at=0 (no bottleneck): the IDE pair leads the segment list."""
+  deg = 4
+  p2 = 2 * fused_mlp.ide_tables(deg)[0].shape[1]
+  kernels, biases, _, _ = _params(jax.random.PRNGKey(58), 3, 32, p2 + 1,
+                                  head=False)
+  _, rd, ki, dot = _ide_inputs(jax.random.PRNGKey(59), 33, deg)
+  enc = _ide_enc(deg, rd, ki)
+  ref = fused_mlp.reference_trunk([enc, dot], kernels, biases)
+  out = fused_mlp.fused_trunk([(rd, ki), dot], kernels, biases,
+                              block=16, ide_deg=deg, ide_at=0)
+  np.testing.assert_allclose(ref, out, atol=1e-5, rtol=1e-5)

@@ -282,3 +282,78 @@ def test_fuse_compositing_gate_falls_back():
             ).apply({'params': params}, gaussians, viewdirs, train=True,
                     delta=delta)
   assert 'weights' not in out
+
+
+@pytest.mark.parametrize('train', [True, False])
+@pytest.mark.parametrize('rough', [True, False])
+def test_fuse_dir_enc_matches(train, rough):
+  """fuse_dir_enc=True (in-kernel IDE) == the XLA dir_enc path, including
+  the gradients through refdirs (normals) and kappa_inv (roughness)."""
+  overrides = dict(net_depth_viewdirs=4, deg_view=3,
+                   enable_pred_roughness=rough)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(20))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(21)}, gaussians,
+                    viewdirs, train=False)['params']
+  ref = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', **overrides)
+  out = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', fuse_dir_enc=True, **overrides)
+  assert set(ref) == set(out)
+  for k in ref:
+    if ref[k] is None or isinstance(ref[k], float):
+      assert out[k] == ref[k], k
+      continue
+    np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
+                               err_msg=k)
+
+
+def test_fuse_dir_enc_gradients_match():
+  """Full second-order loss grads with the in-kernel IDE: d loss flows
+  through refdirs -> reflect -> normals (and the density-normal chain)."""
+  overrides = dict(net_depth_viewdirs=4, deg_view=3)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(22))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(23)}, gaussians,
+                    viewdirs, train=False)['params']
+
+  def loss(params, fuse):
+    r = _apply(params, gaussians, viewdirs, True, fused_trunk='on',
+               fuse_dir_enc=fuse, **overrides)
+    t = jnp.mean((r['rgb'] - 0.5) ** 2) + jnp.mean(r['density'])
+    t = t + jnp.mean(jnp.sum(r['normals'] * r['normals_pred'], axis=-1))
+    t = t + jnp.mean(r['roughness'])
+    return t
+
+  g_ref = jax.grad(loss)(params, False)
+  g_fus = jax.grad(loss)(params, True)
+  flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+  flat_f = jax.tree.leaves(g_fus)
+  assert len(flat_r) == len(flat_f)
+  for (path, a), b in zip(flat_r, flat_f):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(
+        a, b, atol=5e-4 * scale, rtol=1e-3,
+        err_msg=jax.tree_util.keystr(path))
+
+
+@pytest.mark.parametrize('train', [True, False])
+def test_fuse_dir_enc_no_reflections(train):
+  """Broadcast plain-viewdir IDE (use_reflections=False) in-kernel."""
+  overrides = dict(net_depth_viewdirs=4, deg_view=3, use_reflections=False,
+                   enable_pred_normals=False, disable_density_normals=True,
+                   enable_pred_roughness=False, use_n_dot_v=False)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(24))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(25)}, gaussians,
+                    viewdirs, train=False)['params']
+  ref = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', **overrides)
+  out = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', fuse_dir_enc=True, **overrides)
+  for k in ref:
+    if ref[k] is None or isinstance(ref[k], float):
+      assert out[k] == ref[k], k
+      continue
+    np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
+                               err_msg=k)
