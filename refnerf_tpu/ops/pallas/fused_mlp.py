@@ -355,6 +355,12 @@ def _ray_masks(cfg: TrunkCfg):
                    jnp.float32(1), jnp.float32(0))
 
 
+def _delta_col(cfg: TrunkCfg, d):
+  """The per-sample delta as a [blk, 1] column (it moves through HBM as
+  [blk/S, S] tiles; rows are ray-major so this reshape is layout-free)."""
+  return d['delta'][:].reshape(cfg.block, 1)
+
+
 def _epilogue_fwd(cfg: TrunkCfg, d, sig_raw):
   """In-kernel compositing weights from the raw density column.
 
@@ -364,7 +370,7 @@ def _epilogue_fwd(cfg: TrunkCfg, d, sig_raw):
   """
   raw_t = sig_raw + d['bsig'][:]
   sigma = jax.nn.softplus(raw_t)
-  dd = sigma * d['delta'][:]
+  dd = sigma * _delta_col(cfg, d)
   excl = _dot(_ray_masks(cfg), dd, ((1,), (0,)))
   trans = jnp.exp(-excl)
   alpha = 1.0 - jnp.exp(-dd)
@@ -479,9 +485,9 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
   y32 = y.astype(jnp.float32)
   if cfg.density:
     sig_raw = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
-    sig_ref[:] = sig_raw
+    sig_ref[:] = sig_raw.reshape(sig_ref.shape)
     if cfg.weights:
-      w_ref[:] = _epilogue_fwd(cfg, d, sig_raw)[0]
+      w_ref[:] = _epilogue_fwd(cfg, d, sig_raw)[0].reshape(w_ref.shape)
   if cfg.h_f32:
     h_ref[:] = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
   if cfg.h_cdt:
@@ -553,7 +559,7 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
   if cfg.out_y:
     g = g + ybar_ref[:].astype(cdt)
   if cfg.density:
-    sbar = sbar_ref[:]
+    sbar = sbar_ref[:].reshape(cfg.block, 1)
     if cfg.weights:
       # Fold the weights cotangent into raw-density's before the trunk
       # reverse: with dd_i = sigma_i delta_i, T_i = exp(-excl_i),
@@ -564,9 +570,9 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
       # Exactness vs jax.grad: tests/test_epilogue_design.py.
       sig_raw = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
       w, trans, _, _, raw_t = _epilogue_fwd(cfg, d, sig_raw)
-      wbar = wbar_ref[:]
+      wbar = wbar_ref[:].reshape(cfg.block, 1)
       suffix = _dot(_ray_masks(cfg), wbar * w, ((0,), (0,)))
-      ct_raw = ((wbar * (trans - w) - suffix) * d['delta'][:]
+      ct_raw = ((wbar * (trans - w) - suffix) * _delta_col(cfg, d)
                 * jax.nn.sigmoid(raw_t))
       sbar = sbar + ct_raw
       dbsig_ref[:] += jnp.sum(ct_raw, axis=0, keepdims=True)
@@ -723,6 +729,19 @@ def _make_op(cfg: TrunkCfg):
                    + W * (cfg.h_f32 + cfg.h_cdt + int(cfg.density)))
     return int(per * passes)
 
+  # With the compositing epilogue, sigma / weights / delta move as
+  # [rows, samples] tiles instead of [N, 1] columns: rows are ray-major so
+  # the regrouping is a free in-VMEM reshape, the HBM arrays land directly
+  # in the [batch, samples] layout every consumer wants, and the
+  # degenerate-tiling [N, 1] relayout copies (~0.4 ms each at batch 4096
+  # on v5e) never exist.
+  S_w = cfg.weights
+  col_rows = (cfg.block // S_w) if S_w else cfg.block
+  col_cols = S_w if S_w else 1
+
+  def _col_shape(b):
+    return (b // S_w, S_w) if S_w else (b, 1)
+
   def _fwd(xs, wargs, delta, bsig):
     b = xs[0].shape[0]
     grid = (b // cfg.block,)
@@ -731,8 +750,8 @@ def _make_op(cfg: TrunkCfg):
       out_shape.append(jax.ShapeDtypeStruct((b, W), cdt))
       out_specs.append(_row_spec(cfg.block, W))
     if cfg.density:
-      out_shape.append(jax.ShapeDtypeStruct((b, 1), jnp.float32))
-      out_specs.append(_row_spec(cfg.block, 1))
+      out_shape.append(jax.ShapeDtypeStruct(_col_shape(b), jnp.float32))
+      out_specs.append(_row_spec(col_rows, col_cols))
     if cfg.h_f32:
       out_shape.append(jax.ShapeDtypeStruct((b, cfg.h_f32), jnp.float32))
       out_specs.append(_row_spec(cfg.block, cfg.h_f32))
@@ -745,10 +764,10 @@ def _make_op(cfg: TrunkCfg):
     wvals, wspecs = _wrefs(wargs)
     evals, especs = [], []
     if cfg.weights:
-      out_shape.append(jax.ShapeDtypeStruct((b, 1), jnp.float32))
-      out_specs.append(_row_spec(cfg.block, 1))
+      out_shape.append(jax.ShapeDtypeStruct(_col_shape(b), jnp.float32))
+      out_specs.append(_row_spec(col_rows, col_cols))
       evals = [delta, bsig]
-      especs = [_row_spec(cfg.block, 1), _full_spec((1, 1))]
+      especs = [_row_spec(col_rows, col_cols), _full_spec((1, 1))]
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
@@ -793,12 +812,12 @@ def _make_op(cfg: TrunkCfg):
       out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
       out_specs.append(_full_spec((1, 1)))
       evals = [delta, bsig]
-      especs = [_row_spec(cfg.block, 1), _full_spec((1, 1))]
+      especs = [_row_spec(col_rows, col_cols), _full_spec((1, 1))]
     cot_specs = []
     if cfg.out_y:
       cot_specs.append(_row_spec(cfg.block, W))
     if cfg.density:
-      cot_specs.append(_row_spec(cfg.block, 1))
+      cot_specs.append(_row_spec(col_rows, col_cols))
     if cfg.h_f32:
       cot_specs.append(_row_spec(cfg.block, cfg.h_f32))
     if cfg.h_cdt:
@@ -806,7 +825,7 @@ def _make_op(cfg: TrunkCfg):
     for ud in u_dims:
       cot_specs.append(_row_spec(cfg.block, ud))
     if cfg.weights:
-      cot_specs.append(_row_spec(cfg.block, 1))
+      cot_specs.append(_row_spec(col_rows, col_cols))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
@@ -1146,10 +1165,18 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
 
   dcol = bsig = None
   if cfg.weights:
-    (dcol,), _ = _prep_rows((delta.astype(jnp.float32)[..., None],),
-                            n, block)
+    # delta moves as [rays, samples] tiles (same ray-major rows the sigma
+    # and weights outputs use) - no [N, 1] degenerate-tiling columns.
+    npad = _round_up(max(n, 1), block)
+    dcol = jnp.pad(delta.astype(jnp.float32).reshape(n // samples, samples),
+                   ((0, (npad - n) // samples), (0, 0)))
     bsig = ((0.0 if bd is None else bd.astype(jnp.float32)[0])
             + jnp.float32(act_bias)).reshape(1, 1)
+
+  def _col_out(o):
+    if cfg.weights:
+      return o[:n // samples].reshape(lead)
+    return o[:n, 0].reshape(lead)
 
   outs = list(_make_op(cfg)(
       xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, su, dcol, bsig, None))
@@ -1157,7 +1184,7 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))
   if cfg.density:
-    sig = outs.pop(0)[:n, 0].reshape(lead)
+    sig = _col_out(outs.pop(0))
     res.append(sig + (0.0 if bd is None else bd.astype(jnp.float32)[0]))
   if cfg.h_f32:
     res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_f32))
@@ -1166,7 +1193,7 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
   if cfg.density_grad:
     res.append(outs.pop(0)[:n].reshape(*lead, nb))
   if cfg.weights:
-    res.append(outs.pop(0)[:n, 0].reshape(lead))
+    res.append(_col_out(outs.pop(0)))
   return res[0] if len(res) == 1 else tuple(res)
 
 
