@@ -105,6 +105,13 @@ class MLP(nn.Module):
   # only when the fused directional path dispatches and
   # use_directional_enc is set; otherwise the encoding runs in XLA as usual.
   fuse_dir_enc: bool = False
+  # Run the Ref-NeRF color epilogue (sigmoid specular x tint + diffuse,
+  # gamut normalization, linear_to_srgb, clip, padding) inside the fused
+  # directional kernel. Takes effect only when the fused directional path
+  # dispatches with the flagship color flags (diffuse+tint+srgb+norm,
+  # sigmoid rgb_activation); the XLA epilogue otherwise. The diffuse /
+  # specular / tint extras still come from XLA (dead code in training).
+  fuse_dir_rgb: bool = False
   rgb_premultiplier: float = 1.0
   rgb_activation: Callable[..., Any] = nn.sigmoid
   rgb_bias: float = 0.0
@@ -415,13 +422,15 @@ class MLP(nn.Module):
       rgb = jnp.zeros_like(means)
     else:
       raw_rgb = None
+      fused_rgb_out = None
       if viewdirs is not None:
         if self.use_diffuse_color:
           raw_rgb_diffuse = (fh['diffuse'] if fh is not None
                              else self.raw_rgb_diffuse_layer(x))
         if self.use_specular_tint:
-          tint = nn.sigmoid(fh['tint'] if fh is not None
-                            else self.raw_tint_layer(x))
+          raw_tint = (fh['tint'] if fh is not None
+                      else self.raw_tint_layer(x))
+          tint = nn.sigmoid(raw_tint)
         if self.enable_pred_roughness:
           roughness = self.roughness_activation(
               (fh['roughness'] if fh is not None
@@ -492,13 +501,29 @@ class MLP(nn.Module):
           # Fused directional trunk: the input pieces go in as separate
           # segments (no XLA concatenate / pad+maximum transpose), and the
           # rgb head runs in-kernel so the trunk features never hit HBM.
+          fuse_rgb = (
+              self.fuse_dir_rgb and self.use_diffuse_color
+              and self.use_specular_tint and self.srgb_mapping
+              and self.srgb_mapping_normalization
+              and self.rgb_activation in (nn.sigmoid, jax.nn.sigmoid)
+              and self.num_rgb_channels == 3)
           ks, bs = self._stack_params(self.viewdir_mlp)
           rp = self.rgb_layer.variables['params']
-          raw_rgb = fused_mlp.fused_trunk(
+          outs = fused_mlp.fused_trunk(
               x, ks, bs, head_f32=(rp['kernel'], rp['bias']), out_y=False,
               skip_period=self.skip_layer, needs_dx=True,
               compute_dtype=self.compute_dtype, block=self._block(),
-              ide_deg=self.deg_view if fuse_ide else 0, ide_at=ide_at)
+              ide_deg=self.deg_view if fuse_ide else 0, ide_at=ide_at,
+              rgb_epilogue=(
+                  (flat(raw_rgb_diffuse), flat(raw_tint),
+                   self.rgb_premultiplier, self.rgb_bias, self.rgb_padding)
+                  if fuse_rgb else None))
+          if fuse_rgb:
+            raw_rgb, fused_rgb_out = outs
+            fused_rgb_out = fused_rgb_out.reshape(
+                lead + (self.num_rgb_channels,))
+          else:
+            raw_rgb = outs
           raw_rgb = raw_rgb.reshape(lead + (self.num_rgb_channels,))
         else:
           x = jnp.concatenate(x, axis=-1)
@@ -538,8 +563,13 @@ class MLP(nn.Module):
           diffuse = diffuse_linear
           specular = specular_linear
 
-      # Map color to [-rgb_padding, 1 + rgb_padding].
-      rgb = rgb * (1 + 2 * self.rgb_padding) - self.rgb_padding
+      if fused_rgb_out is not None:
+        # The color epilogue (incl. padding) ran in-kernel; the XLA chain
+        # above only feeds the diffuse/specular extras (dead in training).
+        rgb = fused_rgb_out
+      else:
+        # Map color to [-rgb_padding, 1 + rgb_padding].
+        rgb = rgb * (1 + 2 * self.rgb_padding) - self.rgb_padding
 
     ray_results = dict(density=density, rgb=rgb)
     if fh is not None and 'comp_weights' in fh:

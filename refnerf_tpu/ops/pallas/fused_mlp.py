@@ -96,6 +96,17 @@ class TrunkCfg(NamedTuple):
                     # epilogue (sigma -> transmittance weights) in-kernel.
                     # Requires density and block % weights == 0 so every
                     # VMEM block holds whole rays (rows are ray-major).
+  rgbe: bool = False  # fuse the Ref-NeRF rgb epilogue (sigmoid specular x
+                    # sigmoid tint + sigmoid diffuse, max-normalize,
+                    # linear_to_srgb, clip, padding - mlp.py:491-518,
+                    # reference internal/models.py:715-745) after the f32
+                    # rgb head. Adds raw-diffuse/raw-tint inputs and a
+                    # final-rgb output; the backward uses jax.vjp on the
+                    # same chain in-kernel, so clip/max tie semantics match
+                    # XLA AD exactly.
+  rgbe_premult: float = 1.0
+  rgbe_bias: float = 0.0
+  rgbe_pad: float = 0.0
   ide: int = 0      # >0: deg_view of an in-kernel integrated directional
                     # encoding. The segment pair at (ide_at, ide_at + 1)
                     # (the re/im IDE halves, P wide each) is computed in
@@ -224,7 +235,39 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
   if cfg.weights:
     d['delta'] = rr.take()     # (blk, 1) f32 per-sample t-interval * |dir|
     d['bsig'] = rr.take()      # (1, 1) f32 density-head + activation bias
+  if cfg.rgbe:
+    d['rawd'] = rr.take()      # (blk, 3) f32 raw diffuse color
+    d['rawt'] = rr.take()      # (blk, 3) f32 raw specular tint
   return d
+
+
+def _rgb_epilogue(cfg: TrunkCfg, raw, rawd, rawt):
+  """The Ref-NeRF color epilogue, f32, mirroring mlp.py:491-518 exactly
+  (reference internal/models.py:715-745): sigmoid specular x sigmoid tint
+  + sigmoid diffuse, max-normalize into gamut, linear_to_srgb, clip,
+  rgb_padding. Used by the fwd kernel directly and by the bwd kernel via
+  jax.vjp (exact XLA-AD tie semantics for the max/clip subgradients, which
+  ARE hit at every gamut-normalized sample)."""
+  rgb = jax.nn.sigmoid(cfg.rgbe_premult * raw + cfg.rgbe_bias)
+  diffuse_linear = jax.nn.sigmoid(rawd - np.float32(np.log(3.0)))
+  tint = jax.nn.sigmoid(rawt)
+  specular_linear = tint * rgb
+  rgb = specular_linear + diffuse_linear
+  rgb_norm = jnp.maximum(rgb.max(axis=-1, keepdims=True),
+                         jnp.ones_like(rgb[..., :1]))
+  rgb = rgb / rgb_norm
+  rgb = jnp.clip(_linear_to_srgb(rgb), 0.0, 1.0)
+  return rgb * (1 + 2 * cfg.rgbe_pad) - cfg.rgbe_pad
+
+
+_SRGB_EPS = float(np.finfo(np.float32).eps)
+
+
+def _linear_to_srgb(linear):
+  """ops/image.py:37 linear_to_srgb, inlined (identical ops/constants)."""
+  srgb0 = 323 / 25 * linear
+  srgb1 = (211 * jnp.maximum(_SRGB_EPS, linear)**(5 / 12) - 11) / 200
+  return jnp.where(linear <= 0.0031308, srgb0, srgb1)
 
 
 def _in_dims(cfg: TrunkCfg) -> Tuple[int, ...]:
@@ -476,6 +519,7 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
   u_refs = rr.take(1 if cfg.uproj else len(cfg.seg_dims)) \
       if cfg.density_grad else ()
   w_ref = rr.take() if cfg.weights else None
+  rgb_ref = rr.take() if cfg.rgbe else None
 
   segs, trig = _segments(cfg, d, cdt)
   acts = _forward_trunk(cfg, d, segs, cdt)
@@ -489,7 +533,10 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
     if cfg.weights:
       w_ref[:] = _epilogue_fwd(cfg, d, sig_raw)[0].reshape(w_ref.shape)
   if cfg.h_f32:
-    h_ref[:] = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
+    hval = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
+    h_ref[:] = hval
+    if cfg.rgbe:
+      rgb_ref[:] = _rgb_epilogue(cfg, hval, d['rawd'][:], d['rawt'][:])
   if cfg.h_cdt:
     c_ref[:] = (_dot(y, d['wc'][:], ((1,), (0,))).astype(cdt)
                 + d['bc'][:].astype(cdt))
@@ -523,6 +570,7 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
   cbar_ref = rr.take() if cfg.h_cdt else None
   ubar_refs = rr.take(1 if cfg.uproj else G) if cfg.density_grad else ()
   wbar_ref = rr.take() if cfg.weights else None
+  rgbbar_ref = rr.take() if cfg.rgbe else None
   # Gradient outputs.
   dw0s = rr.take(G)
   dwas = rr.take(L - 1)
@@ -535,6 +583,8 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
   dbc_ref = rr.take() if cfg.h_cdt else None
   dx_refs = rr.take(G) if cfg.needs_dx else ()
   dbsig_ref = rr.take() if cfg.weights else None
+  drawd_ref = rr.take() if cfg.rgbe else None
+  drawt_ref = rr.take() if cfg.rgbe else None
 
   @pl.when(pl.program_id(0) == 0)
   def _init():
@@ -580,6 +630,19 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
     dwd_ref[:] += _dot(sbar, y32, ((0,), (0,)))
   if cfg.h_f32:
     hbar = hbar_ref[:]
+    if cfg.rgbe:
+      # Pull the final-rgb cotangent back through the color epilogue onto
+      # the raw head output and the raw diffuse/tint inputs. jax.vjp on
+      # the in-kernel chain reproduces XLA AD exactly (incl. the 0.5
+      # tie subgradients of max/clip at gamut-normalized samples).
+      hval = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
+      rawd, rawt = d['rawd'][:], d['rawt'][:]
+      _, rgb_vjp = jax.vjp(
+          lambda a, b, c: _rgb_epilogue(cfg, a, b, c), hval, rawd, rawt)
+      d_raw, d_rawd, d_rawt = rgb_vjp(rgbbar_ref[:])
+      hbar = hbar + d_raw
+      drawd_ref[:] = d_rawd
+      drawt_ref[:] = d_rawt
     back = _dot(hbar, d['wh'][:], ((1,), (1,)))
     g32 = back if g32 is None else g32 + back
     dwh_ref[:] += _dot(y32, hbar, ((0,), (0,)))
@@ -742,7 +805,7 @@ def _make_op(cfg: TrunkCfg):
   def _col_shape(b):
     return (b // S_w, S_w) if S_w else (b, 1)
 
-  def _fwd(xs, wargs, delta, bsig):
+  def _fwd(xs, wargs, delta, bsig, rgbx):
     b = xs[0].shape[0]
     grid = (b // cfg.block,)
     out_shape, out_specs = [], []
@@ -768,6 +831,11 @@ def _make_op(cfg: TrunkCfg):
       out_specs.append(_row_spec(col_rows, col_cols))
       evals = [delta, bsig]
       especs = [_row_spec(col_rows, col_cols), _full_spec((1, 1))]
+    if cfg.rgbe:
+      out_shape.append(jax.ShapeDtypeStruct((b, cfg.h_f32), jnp.float32))
+      out_specs.append(_row_spec(cfg.block, cfg.h_f32))
+      evals += list(rgbx)
+      especs += [_row_spec(cfg.block, cfg.h_f32)] * 2
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, cfg),
         grid=grid,
@@ -783,7 +851,7 @@ def _make_op(cfg: TrunkCfg):
     )(*xs, *wvals, *evals)
     return tuple(outs)
 
-  def _bwd(xs, wargs, delta, bsig, cots):
+  def _bwd(xs, wargs, delta, bsig, rgbx, cots):
     b = xs[0].shape[0]
     grid = (b // cfg.block,)
     out_shape = ([jax.ShapeDtypeStruct(s, jnp.float32)
@@ -816,6 +884,11 @@ def _make_op(cfg: TrunkCfg):
       out_specs.append(_full_spec((1, 1)))
       evals = [delta, bsig]
       especs = [_row_spec(col_rows, col_cols), _full_spec((1, 1))]
+    if cfg.rgbe:
+      out_shape += [jax.ShapeDtypeStruct((b, cfg.h_f32), jnp.float32)] * 2
+      out_specs += [_row_spec(cfg.block, cfg.h_f32)] * 2
+      evals += list(rgbx)
+      especs += [_row_spec(cfg.block, cfg.h_f32)] * 2
     cot_specs = []
     if cfg.out_y:
       cot_specs.append(_row_spec(cfg.block, W))
@@ -829,6 +902,8 @@ def _make_op(cfg: TrunkCfg):
       cot_specs.append(_row_spec(cfg.block, ud))
     if cfg.weights:
       cot_specs.append(_row_spec(col_rows, col_cols))
+    if cfg.rgbe:
+      cot_specs.append(_row_spec(cfg.block, cfg.h_f32))
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, cfg),
         grid=grid,
@@ -861,25 +936,30 @@ def _make_op(cfg: TrunkCfg):
     dbsig = None
     if cfg.weights:
       dbsig = outs[i]; i += 1
-    return dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc), dbsig
+    drgbx = None
+    if cfg.rgbe:
+      drgbx = (outs[i], outs[i + 1]); i += 2
+    return (dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc), dbsig,
+            drgbx)
 
   @jax.custom_vjp
-  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig, idec):
+  def op(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig, idec,
+         rgbx):
     return _fwd(xs, (w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, idec),
-                delta, bsig)
+                delta, bsig, rgbx)
 
   def op_fwd(xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig,
-             idec):
+             idec, rgbx):
     args = (xs, w0s, was, wbs, bs, wd, wh, bh, wc, bc, su, delta, bsig,
-            idec)
-    return _fwd(xs, args[1:11] + (idec,), delta, bsig), args
+            idec, rgbx)
+    return _fwd(xs, args[1:11] + (idec,), delta, bsig, rgbx), args
 
   def op_bwd(res, cots):
     xs = res[0]
     wargs = tuple(res[1:11]) + (res[13],)
-    delta, bsig = res[11], res[12]
-    dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc), dbsig = _bwd(
-        xs, wargs, delta, bsig, cots)
+    delta, bsig, rgbx = res[11], res[12], res[14]
+    dxs, (dw0s, dwas, dwbs, dbs, dwd, dwh, dbh, dwc, dbc), dbsig, drgbx = \
+        _bwd(xs, wargs, delta, bsig, rgbx, cots)
     # Segment cotangents already leave the kernel in the primal dtypes.
     dxs = tuple(dxs)
     zero = lambda prim, g: jax.tree.map(jnp.zeros_like, prim) \
@@ -892,7 +972,8 @@ def _make_op(cfg: TrunkCfg):
             # level: resampling detaches sdist; ray dirs are data).
             zero(delta, None), zero(bsig, dbsig),
             # IDE constants are trace-time tables.
-            zero(res[13], None))
+            zero(res[13], None),
+            zero(rgbx, drgbx))
 
   op.defvjp(op_fwd, op_bwd)
   return op
@@ -961,7 +1042,7 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
                 skip_period=4, density_grad=False, needs_dx=False,
                 head_f32=None, head_cdt=None, out_y=None,
                 compute_dtype='float32', block=512, interpret=None,
-                ide_deg=0, ide_at=0):
+                ide_deg=0, ide_at=0, rgb_epilogue=None):
   """Fused trunk on flax-shaped parameters, segmented input.
 
   Args:
@@ -990,9 +1071,13 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
       XLA-side encoding, its [.., 2P] relayout copies, and its backward
       never materialize; needs_dx emits d/d refdirs and d/d kappa_inv.
     ide_at: segment position of the IDE pair within x.
+    rgb_epilogue: optional (raw_diffuse [..., 3], raw_tint [..., 3],
+      rgb_premultiplier, rgb_bias, rgb_padding): fuse the Ref-NeRF color
+      epilogue (mlp.py:491-518) after the f32 rgb head and append the
+      final rgb to the outputs. Requires head_f32 = the rgb head.
 
-  Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u per segment],
-  or the single y array when only y is produced.
+  Returns a tuple in order [y][, sigma][, h_f32][, h_cdt][, u per segment]
+  [, rgb], or the single y array when only y is produced.
   """
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
@@ -1019,6 +1104,14 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   wc, bc = _head(*head_cdt) if head_cdt else (None, None)
   if out_y is None:
     out_y = True
+  rgbe_kw = {}
+  if rgb_epilogue is not None:
+    if wh is None:
+      raise ValueError('rgb_epilogue needs head_f32 (the rgb head)')
+    rgbe_kw = dict(rgbe=True,
+                   rgbe_premult=float(rgb_epilogue[2]),
+                   rgbe_bias=float(rgb_epilogue[3]),
+                   rgbe_pad=float(rgb_epilogue[4]))
   cfg = TrunkCfg(
       depth=depth, width=width, seg_dims=seg_dims,
       skip_inputs=skip_input_layers(depth, skip_period),
@@ -1028,16 +1121,21 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
       h_cdt=0 if wc is None else wc.shape[-1],
       out_y=out_y, cdt=compute_dtype, block=block,
       interpret=bool(interpret),
-      ide=int(ide_deg), ide_at=ide_at if ide_deg else -1)
+      ide=int(ide_deg), ide_at=ide_at if ide_deg else -1, **rgbe_kw)
 
   lead = segs[0].shape[:-1]
   n = int(np.prod(lead)) if lead else 1
   xs, npad = _prep_rows(segs, n, block)
   w0s, was, wbs, bs = _canonicalize(cfg, kernels, biases)
   wdT = None if wd is None else wd.astype(jnp.float32).reshape(1, width)
+  rgbx = None
+  if cfg.rgbe:
+    rgbx, _ = _prep_rows((rgb_epilogue[0].astype(jnp.float32),
+                          rgb_epilogue[1].astype(jnp.float32)), n, block)
 
   outs = list(_make_op(cfg)(
-      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, None, None, None, idec))
+      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, None, None, None, idec,
+      rgbx))
   res = []
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))
@@ -1051,6 +1149,8 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   if cfg.density_grad:
     for sd in seg_dims:
       res.append(outs.pop(0)[:n].reshape(*lead, sd))
+  if cfg.rgbe:
+    res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_f32))
   return res[0] if len(res) == 1 else tuple(res)
 
 
@@ -1182,7 +1282,8 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
     return o[:n, 0].reshape(lead)
 
   outs = list(_make_op(cfg)(
-      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, su, dcol, bsig, None))
+      xs, w0s, was, wbs, bs, wdT, wh, bh, wc, bc, su, dcol, bsig, None,
+      None))
   res = []
   if cfg.out_y:
     res.append(outs.pop(0)[:n].reshape(*lead, width))

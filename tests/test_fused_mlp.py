@@ -473,3 +473,114 @@ def test_ide_trunk_no_bottleneck_slot_zero():
   out = fused_mlp.fused_trunk([(rd, ki), dot], kernels, biases,
                               block=16, ide_deg=deg, ide_at=0)
   np.testing.assert_allclose(ref, out, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel Ref-NeRF rgb epilogue (TrunkCfg.rgbe).
+
+
+def _rgb_chain_ref(raw, rawd, rawt, premult, bias, pad):
+  """mlp.py:491-518 color chain (the reference for the in-kernel fold)."""
+  from refnerf_tpu.ops import image as image_ops
+  rgb = jax.nn.sigmoid(premult * raw + bias)
+  diffuse_linear = jax.nn.sigmoid(rawd - jnp.log(3.0))
+  tint = jax.nn.sigmoid(rawt)
+  specular_linear = tint * rgb
+  rgb = specular_linear + diffuse_linear
+  rgb_norm = jnp.maximum(rgb.max(axis=-1, keepdims=True),
+                         jnp.ones_like(rgb[..., :1]))
+  rgb = rgb / rgb_norm
+  rgb = jnp.clip(image_ops.linear_to_srgb(rgb), 0.0, 1.0)
+  return rgb * (1 + 2 * pad) - pad
+
+
+def _rgbe_setup(key, n=67, fin=40, width=64, scale=1.0):
+  kernels, biases, _, _ = _params(jax.random.PRNGKey(60), 3, width, fin,
+                                  head=False)
+  k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+  wh = jax.random.normal(k1, (width, 3)) / 4.0
+  bh = jax.random.normal(k2, (3,)) * 0.1
+  x = jax.random.normal(k3, (n, fin))
+  # `scale` pushes raw diffuse/tint up so the gamut normalization (and its
+  # 0.5-at-tie max/clip subgradients) actually engages.
+  rawd = jax.random.normal(k4, (n, 3)) * scale + (scale - 1.0)
+  rawt = jax.random.normal(k5, (n, 3)) * scale + (scale - 1.0)
+  return kernels, biases, (wh, bh), x, rawd, rawt
+
+
+@pytest.mark.parametrize('scale', [1.0, 4.0])
+def test_rgb_epilogue_forward_matches(scale):
+  kernels, biases, hf, x, rawd, rawt = _rgbe_setup(
+      jax.random.PRNGKey(61), scale=scale)
+  raw = fused_mlp.reference_trunk(x, kernels, biases, head_f32=hf)[1]
+  want = _rgb_chain_ref(raw, rawd, rawt, 1.3, -0.2, 0.001)
+  _, got = fused_mlp.fused_trunk(
+      x, kernels, biases, head_f32=hf, out_y=False, block=32,
+      rgb_epilogue=(rawd, rawt, 1.3, -0.2, 0.001))
+  if scale > 1:  # the regime the normalization exists for must be hit
+    assert np.asarray(raw_norm_active(rawd, rawt, raw)).any()
+  np.testing.assert_allclose(want, got, atol=1e-6, rtol=1e-6)
+
+
+def raw_norm_active(rawd, rawt, raw):
+  c = (jax.nn.sigmoid(rawt) * jax.nn.sigmoid(raw)
+       + jax.nn.sigmoid(rawd - jnp.log(3.0)))
+  return c.max(-1) > 1.0
+
+
+@pytest.mark.parametrize('scale', [1.0, 4.0])
+def test_rgb_epilogue_gradients_match(scale):
+  """d loss/d {x, rawd, rawt, params} vs jax AD of the XLA chain -
+  including at gamut-normalized samples where max/clip subgradient ties
+  are exact (cn == 1.0 at the argmax channel)."""
+  kernels, biases, hf, x, rawd, rawt = _rgbe_setup(
+      jax.random.PRNGKey(62), scale=scale)
+
+  def loss_ref(params, x, rawd, rawt):
+    k, b = params
+    raw = fused_mlp.reference_trunk(x, k, b, head_f32=hf)[1]
+    rgb = _rgb_chain_ref(raw, rawd, rawt, 1.3, -0.2, 0.001)
+    return jnp.sum(jnp.sin(rgb * 3.0))
+
+  def loss_fused(params, x, rawd, rawt):
+    k, b = params
+    _, rgb = fused_mlp.fused_trunk(
+        x, k, b, head_f32=hf, out_y=False, needs_dx=True, block=32,
+        rgb_epilogue=(rawd, rawt, 1.3, -0.2, 0.001))
+    return jnp.sum(jnp.sin(rgb * 3.0))
+
+  args = ((kernels, biases), x, rawd, rawt)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+  gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(*args)
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gr),
+                          jax.tree.leaves(gf)):
+    scale_ = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(a, b, atol=2e-5 * scale_, rtol=2e-5,
+                               err_msg=jax.tree_util.keystr(path))
+
+
+def test_rgb_epilogue_with_raw_head_cotangent():
+  """raw_rgb (the h_f32 output) stays available alongside the fused rgb;
+  a loss touching BOTH must accumulate both head cotangents."""
+  kernels, biases, hf, x, rawd, rawt = _rgbe_setup(jax.random.PRNGKey(63))
+
+  def loss_ref(params):
+    k, b = params
+    raw = fused_mlp.reference_trunk(x, k, b, head_f32=hf)[1]
+    rgb = _rgb_chain_ref(raw, rawd, rawt, 1.0, 0.0, 0.001)
+    return jnp.sum(rgb ** 2) + jnp.sum(jnp.tanh(raw))
+
+  def loss_fused(params):
+    k, b = params
+    raw, rgb = fused_mlp.fused_trunk(
+        x, k, b, head_f32=hf, out_y=False, needs_dx=True, block=32,
+        rgb_epilogue=(rawd, rawt, 1.0, 0.0, 0.001))
+    return jnp.sum(rgb ** 2) + jnp.sum(jnp.tanh(raw))
+
+  gr = jax.grad(loss_ref)((kernels, biases))
+  gf = jax.grad(loss_fused)((kernels, biases))
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gr),
+                          jax.tree.leaves(gf)):
+    s = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(a, b, atol=2e-5 * s, rtol=2e-5,
+                               err_msg=jax.tree_util.keystr(path))

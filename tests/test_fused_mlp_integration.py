@@ -357,3 +357,74 @@ def test_fuse_dir_enc_no_reflections(train):
       continue
     np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
                                err_msg=k)
+
+
+@pytest.mark.parametrize('train', [True, False])
+def test_fuse_dir_rgb_matches(train):
+  """fuse_dir_rgb=True (in-kernel color epilogue) == the XLA chain, for
+  rgb and the diffuse/specular/tint extras."""
+  overrides = dict(net_depth_viewdirs=4, deg_view=3,
+                   rgb_premultiplier=1.5, rgb_bias=-0.1)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(30))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(31)}, gaussians,
+                    viewdirs, train=False)['params']
+  ref = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', **overrides)
+  out = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', fuse_dir_rgb=True, **overrides)
+  assert set(ref) == set(out)
+  for k in ref:
+    if ref[k] is None or isinstance(ref[k], float):
+      assert out[k] == ref[k], k
+      continue
+    np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
+                               err_msg=k)
+
+
+def test_fuse_dir_rgb_and_enc_gradients_match():
+  """Both directional fusions on at once: full loss grads equal XLA."""
+  overrides = dict(net_depth_viewdirs=4, deg_view=3)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(32))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(33)}, gaussians,
+                    viewdirs, train=False)['params']
+
+  def loss(params, fuse):
+    r = _apply(params, gaussians, viewdirs, True, fused_trunk='on',
+               fuse_dir_rgb=fuse, fuse_dir_enc=fuse, **overrides)
+    t = jnp.mean((r['rgb'] - 0.5) ** 2) + jnp.mean(r['density'])
+    t = t + jnp.mean(jnp.sum(r['normals'] * r['normals_pred'], axis=-1))
+    return t
+
+  g_ref = jax.grad(loss)(params, False)
+  g_fus = jax.grad(loss)(params, True)
+  flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+  flat_f = jax.tree.leaves(g_fus)
+  assert len(flat_r) == len(flat_f)
+  for (path, a), b in zip(flat_r, flat_f):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(
+        a, b, atol=5e-4 * scale, rtol=1e-3,
+        err_msg=jax.tree_util.keystr(path))
+
+
+def test_fuse_dir_rgb_falls_back_on_nonflagship_colors():
+  """A non-sigmoid rgb_activation (or missing tint/srgb flags) must leave
+  the XLA epilogue in charge - outputs still equal the plain path."""
+  overrides = dict(net_depth_viewdirs=4, deg_view=3,
+                   srgb_mapping_normalization=False)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(34))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(35)}, gaussians,
+                    viewdirs, train=False)['params']
+  ref = _apply(params, gaussians, viewdirs, True,
+               fused_trunk='on', **overrides)
+  out = _apply(params, gaussians, viewdirs, True,
+               fused_trunk='on', fuse_dir_rgb=True, **overrides)
+  for k in ref:
+    if ref[k] is None or isinstance(ref[k], float):
+      assert out[k] == ref[k], k
+      continue
+    np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
+                               err_msg=k)
