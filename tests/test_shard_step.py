@@ -166,3 +166,49 @@ def test_shard_map_rejects_oversized_noise_prefix():
     assert False, 'expected ValueError'
   except ValueError as e:
     assert 'fit in one shard' in str(e)
+
+
+_FUSED = """
+NerfMLP.fused_trunk = 'on'
+NerfMLP.fused_block = 16
+NerfMLP.fuse_compositing = True
+NerfMLP.fuse_dir_enc = True
+NerfMLP.fuse_dir_rgb = True
+"""
+
+
+def test_fused_kernels_under_sharding():
+  """The fused Pallas path (incl. the compositing / IDE / rgb-epilogue
+  fusions) must compose with BOTH parallelization strategies at 8 devices
+  and agree with the single-device fused step. On CPU the kernels run in
+  interpret mode (plain jax ops), so GSPMD partitioning here validates the
+  program structure; on real multi-chip TPUs shard_map is the strategy
+  that hands the kernels per-device local shapes by construction."""
+  config, model, state, batch = _setup(_FUSED)
+  single = jax.jit(step_lib.make_train_step(model, config))
+  state_1, stats_1 = single(state, batch)
+
+  mesh = mesh_lib.create_mesh()
+
+  config2, model2, state2, batch2 = _setup(_FUSED)
+  state_g = mesh_lib.replicate(state2, mesh)
+  batch_g = mesh_lib.shard_batch(batch2, mesh)
+  gspmd_step = jax.jit(step_lib.make_train_step(model2, config2))
+  state_g, stats_g = gspmd_step(state_g, batch_g)
+
+  config3, model3, state3, batch3 = _setup(_FUSED)
+  state_s = mesh_lib.replicate(state3, mesh)
+  batch_s = mesh_lib.shard_batch(batch3, mesh)
+  sharded_step = shard_step_lib.make_sharded_train_step(model3, config3,
+                                                        mesh)
+  state_s, stats_s = sharded_step(state_s, batch_s)
+
+  np.testing.assert_allclose(float(stats_1['loss']), float(stats_g['loss']),
+                             rtol=1e-5)
+  np.testing.assert_allclose(float(stats_1['loss']), float(stats_s['loss']),
+                             rtol=1e-5)
+  for a, b, c in zip(jax.tree_util.tree_leaves(state_1.params),
+                     jax.tree_util.tree_leaves(state_g.params),
+                     jax.tree_util.tree_leaves(state_s.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
