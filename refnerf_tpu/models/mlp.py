@@ -112,6 +112,11 @@ class MLP(nn.Module):
   # sigmoid rgb_activation); the XLA epilogue otherwise. The diffuse /
   # specular / tint extras still come from XLA (dead code in training).
   fuse_dir_rgb: bool = False
+  # With fuse_dir_enc: also compute the directional geometry in-kernel -
+  # n = -l2_normalize(grad_pred), refdirs = reflect(-viewdirs, n), and the
+  # n.v input scalar - from the raw grad_pred/viewdirs. Takes effect only
+  # with reflections + n.v + predicted normals (the flagship stack).
+  fuse_dir_geo: bool = False
   rgb_premultiplier: float = 1.0
   rgb_activation: Callable[..., Any] = nn.sigmoid
   rgb_bias: float = 0.0
@@ -467,8 +472,15 @@ class MLP(nn.Module):
         else:
           x = []
 
+        # In-kernel geometry: grad_pred/viewdirs go in raw; the kernel does
+        # normalize/reflect/IDE/n.v, so none of those [.., 3] chains (or
+        # their backwards) run lane-starved in XLA.
+        fuse_geo = (fuse_ide and self.fuse_dir_geo and self.use_reflections
+                    and self.use_n_dot_v and self.enable_pred_normals)
         enc_dirs = None
-        if self.use_reflections:
+        if fuse_geo:
+          pass  # geometry happens in-kernel
+        elif self.use_reflections:
           # viewdirs point camera->point; flip so refdirs point outward.
           refdirs = ref_utils.reflect(-viewdirs[..., None, :], normals_to_use)
           if fuse_ide:
@@ -487,12 +499,17 @@ class MLP(nn.Module):
         ide_at = len(x)
         if fuse_ide:
           kappa_inv = (roughness if self.enable_pred_roughness
-                       else jnp.zeros_like(enc_dirs[..., :1]))
-          x.append((flat(enc_dirs), flat(kappa_inv)))
+                       else jnp.zeros_like(means[..., :1]))
+          if fuse_geo:
+            vb = jnp.broadcast_to(viewdirs[..., None, :],
+                                  means.shape[:-1] + (3,))
+            x.append((flat(grad_pred), flat(vb), flat(kappa_inv)))
+          else:
+            x.append((flat(enc_dirs), flat(kappa_inv)))
         else:
           x.append(flat(dir_enc))
 
-        if self.use_n_dot_v:
+        if self.use_n_dot_v and not fuse_geo:
           dotprod = jnp.sum(
               normals_to_use * viewdirs[..., None, :], axis=-1, keepdims=True)
           x.append(flat(dotprod))
@@ -514,6 +531,7 @@ class MLP(nn.Module):
               skip_period=self.skip_layer, needs_dx=True,
               compute_dtype=self.compute_dtype, block=self._block(),
               ide_deg=self.deg_view if fuse_ide else 0, ide_at=ide_at,
+              ide_geo=fuse_geo,
               rgb_epilogue=(
                   (flat(raw_rgb_diffuse), flat(raw_tint),
                    self.rgb_premultiplier, self.rgb_bias, self.rgb_padding)

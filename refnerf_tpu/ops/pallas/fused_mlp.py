@@ -116,6 +116,14 @@ class TrunkCfg(NamedTuple):
                     # d/d refdirs and d/d kappa_inv via the closed-form
                     # complex-power derivative d(x+iy)^m = m (x+iy)^(m-1).
   ide_at: int = -1  # index of the first IDE segment in seg_dims
+  ide_geo: bool = False  # with `ide`: the directional geometry also moves
+                    # in-kernel. Inputs at (ide_at, ide_at+1, ide_at+2)
+                    # are grad [blk,3] (the unnormalized normal vector,
+                    # e.g. grad_pred), viewdirs [blk,3], kappa_inv
+                    # [blk,1]; the kernel computes n = -l2_normalize(grad),
+                    # refdirs = reflect(-viewdirs, n), and fills the
+                    # trailing width-1 n.v segment. Backward via jax.vjp
+                    # on the same chain (exact XLA-AD semantics).
 
 
 def skip_input_layers(depth: int, skip_period: int) -> Tuple[int, ...]:
@@ -272,12 +280,18 @@ def _linear_to_srgb(linear):
 
 def _in_dims(cfg: TrunkCfg) -> Tuple[int, ...]:
   """Per-input trailing dims: seg widths, with the IDE segment pair
-  positionally replaced by its raw inputs (refdirs 3, kappa_inv 1)."""
+  positionally replaced by its raw inputs (refdirs 3, kappa_inv 1; geo
+  mode: grad 3, viewdirs 3, kappa_inv 1 over three slots)."""
   if not cfg.ide:
     return cfg.seg_dims
   dims = list(cfg.seg_dims)
-  dims[cfg.ide_at] = 3
-  dims[cfg.ide_at + 1] = 1
+  if cfg.ide_geo:
+    dims[cfg.ide_at] = 3
+    dims[cfg.ide_at + 1] = 3
+    dims[cfg.ide_at + 2] = 1
+  else:
+    dims[cfg.ide_at] = 3
+    dims[cfg.ide_at + 1] = 1
   return tuple(dims)
 
 
@@ -304,15 +318,43 @@ def _cols_to_stack(cols):
   return out
 
 
-def _ide_powers(cfg: TrunkCfg, d):
+_L2N_EPS = float(np.finfo(np.float32).eps)
+
+
+def _dir_geometry(grad, v):
+  """(refdirs, n.v) from the unnormalized normal vector and viewdirs.
+
+  Mirrors the model exactly (mlp.py: normals = -ref_utils.l2_normalize(g),
+  refdirs = ref_utils.reflect(-viewdirs, normals), dotprod = sum(n * v)).
+  """
+  n = -grad / jnp.sqrt(
+      jnp.maximum(jnp.sum(grad * grad, axis=-1, keepdims=True), _L2N_EPS))
+  mv = -v
+  r = 2.0 * jnp.sum(n * mv, axis=-1, keepdims=True) * n - mv
+  nd = jnp.sum(n * v, axis=-1, keepdims=True)
+  return r, nd
+
+
+def _ide_raw_inputs(cfg: TrunkCfg, d):
+  """(refdirs, kappa_inv, geo_primals) from the raw input refs."""
+  if cfg.ide_geo:
+    gp = _f32(d['segs'][cfg.ide_at][:])
+    v = _f32(d['segs'][cfg.ide_at + 1][:])
+    ki = _f32(d['segs'][cfg.ide_at + 2][:])
+    rd, _ = _dir_geometry(gp, v)
+    return rd, ki, (gp, v)
+  rd = _f32(d['segs'][cfg.ide_at][:])       # [blk, 3] refdirs
+  ki = _f32(d['segs'][cfg.ide_at + 1][:])   # [blk, 1] kappa_inv
+  return rd, ki, None
+
+
+def _ide_powers(cfg: TrunkCfg, rd, ki):
   """Running-product power columns for the in-kernel IDE.
 
   Returns (z, ki, vmz_cols, re_cols, im_cols): vmz_cols[k] = z^k and
   (re+i im)_cols[m] = (x+iy)^m as [blk, 1] f32 columns, k,m in
   [0, l_max]. Mirrors ref_utils.generate_ide_fn's recurrences.
   """
-  rd = _f32(d['segs'][cfg.ide_at][:])       # [blk, 3] refdirs
-  ki = _f32(d['segs'][cfg.ide_at + 1][:])   # [blk, 1] kappa_inv
   x, y, z = rd[:, 0:1], rd[:, 1:2], rd[:, 2:3]
   l_max = 2 ** (cfg.ide - 1)
   vmz_cols = [jnp.ones_like(z)]
@@ -326,7 +368,7 @@ def _ide_powers(cfg: TrunkCfg, d):
   return z, ki, vmz_cols, re_cols, im_cols
 
 
-def _ide_fwd(cfg: TrunkCfg, d):
+def _ide_fwd(cfg: TrunkCfg, d, rd, ki):
   """In-kernel IDE: (re_ide, im_ide) [blk, P] f32 + backward residuals.
 
   re_ide + i im_ide = (x+iy)^m * (sum_k c_k z^k) * exp(-sigma kappa_inv)
@@ -334,7 +376,7 @@ def _ide_fwd(cfg: TrunkCfg, d):
   internal/ref_utils.py:96-151). The power gathers and the z-polynomial
   contraction run as [blk, l_max+1] @ [l_max+1, P] MXU dots.
   """
-  z, ki, vmz_cols, re_cols, im_cols = _ide_powers(cfg, d)
+  z, ki, vmz_cols, re_cols, im_cols = _ide_powers(cfg, rd, ki)
   vmz = _cols_to_stack(vmz_cols)
   re_st = _cols_to_stack(re_cols)
   im_st = _cols_to_stack(im_cols)
@@ -433,16 +475,22 @@ def _segments(cfg: TrunkCfg, d, cdt):
   residuals instead of trig intermediates.
   """
   if cfg.ide:
-    re_ide, im_ide, aux = _ide_fwd(cfg, d)
+    rd, ki, geo = _ide_raw_inputs(cfg, d)
+    re_ide, im_ide, aux = _ide_fwd(cfg, d, rd, ki)
+    nd = None
+    if cfg.ide_geo:
+      _, nd = _dir_geometry(*geo)
     segs = []
     for j in range(len(cfg.seg_dims)):
       if j == cfg.ide_at:
         segs.append(re_ide.astype(cdt))
       elif j == cfg.ide_at + 1:
         segs.append(im_ide.astype(cdt))
+      elif cfg.ide_geo and j == cfg.ide_at + 2:
+        segs.append(nd.astype(cdt))
       else:
         segs.append(d['segs'][j][:].astype(cdt))
-    return segs, aux
+    return segs, (aux, geo)
   if not cfg.encode:
     return [s[:].astype(cdt) for s in d['segs']], None
   hi = jax.lax.Precision.HIGHEST
@@ -683,11 +731,21 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
   if cfg.needs_dx:
     if cfg.ide:
       # Pull the encoding cotangents back through the in-kernel IDE to the
-      # raw refdirs / kappa_inv inputs.
-      d_rd, d_ki = _ide_bwd(cfg, d, trig, dxs[cfg.ide_at],
+      # raw refdirs / kappa_inv inputs (geo mode: further through
+      # reflect/normalize/n.v to grad and viewdirs, via jax.vjp).
+      ide_aux, geo = trig
+      d_rd, d_ki = _ide_bwd(cfg, d, ide_aux, dxs[cfg.ide_at],
                             dxs[cfg.ide_at + 1])
-      dxs[cfg.ide_at] = d_rd
-      dxs[cfg.ide_at + 1] = d_ki
+      if cfg.ide_geo:
+        d_nd = dxs[cfg.ide_at + 2]
+        _, geo_vjp = jax.vjp(_dir_geometry, *geo)
+        d_gp, d_v = geo_vjp((d_rd, d_nd))
+        dxs[cfg.ide_at] = d_gp
+        dxs[cfg.ide_at + 1] = d_v
+        dxs[cfg.ide_at + 2] = d_ki
+      else:
+        dxs[cfg.ide_at] = d_rd
+        dxs[cfg.ide_at + 1] = d_ki
     for j in range(G):
       dx_refs[j][:] = dxs[j].astype(dx_refs[j].dtype)
 
@@ -1042,7 +1100,7 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
                 skip_period=4, density_grad=False, needs_dx=False,
                 head_f32=None, head_cdt=None, out_y=None,
                 compute_dtype='float32', block=512, interpret=None,
-                ide_deg=0, ide_at=0, rgb_epilogue=None):
+                ide_deg=0, ide_at=0, ide_geo=False, rgb_epilogue=None):
   """Fused trunk on flax-shaped parameters, segmented input.
 
   Args:
@@ -1071,6 +1129,11 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
       XLA-side encoding, its [.., 2P] relayout copies, and its backward
       never materialize; needs_dx emits d/d refdirs and d/d kappa_inv.
     ide_at: segment position of the IDE pair within x.
+    ide_geo: with ide_deg: x[ide_at] is (grad [..., 3], viewdirs [..., 3],
+      kappa_inv [..., 1]) and the kernel also computes
+      n = -l2_normalize(grad), refdirs = reflect(-viewdirs, n), and the
+      trailing width-1 n.v segment (which must directly follow the IDE
+      pair in the trunk input layout).
     rgb_epilogue: optional (raw_diffuse [..., 3], raw_tint [..., 3],
       rgb_premultiplier, rgb_bias, rgb_padding): fuse the Ref-NeRF color
       epilogue (mlp.py:491-518) after the f32 rgb head and append the
@@ -1086,16 +1149,25 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
   if ide_deg:
     if density_grad:
       raise ValueError('in-kernel IDE supports first-order trunks only')
-    rd, ki = segs[ide_at]
     mat, sg, gm = ide_tables(ide_deg)
     p = mat.shape[1]
     idec = (jnp.asarray(mat), jnp.asarray(sg), jnp.asarray(gm))
-    # Inputs at the IDE slot are (refdirs, kappa_inv); the trunk-visible
-    # segments there are the re/im halves, P wide each.
-    segs[ide_at:ide_at + 1] = [rd, ki]
-    seg_dims = tuple(
-        p if j in (ide_at, ide_at + 1) else int(s.shape[-1])
-        for j, s in enumerate(segs))
+    if ide_geo:
+      # Inputs at the IDE slot are (grad, viewdirs, kappa_inv); the
+      # trunk-visible segments are re/im (P each) + the n.v scalar.
+      gp, v, ki = segs[ide_at]
+      segs[ide_at:ide_at + 1] = [gp, v, ki]
+      seg_dims = tuple(
+          {ide_at: p, ide_at + 1: p, ide_at + 2: 1}.get(j, int(s.shape[-1]))
+          for j, s in enumerate(segs))
+    else:
+      # Inputs at the IDE slot are (refdirs, kappa_inv); the trunk-visible
+      # segments there are the re/im halves, P wide each.
+      rd, ki = segs[ide_at]
+      segs[ide_at:ide_at + 1] = [rd, ki]
+      seg_dims = tuple(
+          p if j in (ide_at, ide_at + 1) else int(s.shape[-1])
+          for j, s in enumerate(segs))
   else:
     seg_dims = tuple(int(s.shape[-1]) for s in segs)
   depth = len(kernels)
@@ -1121,7 +1193,8 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
       h_cdt=0 if wc is None else wc.shape[-1],
       out_y=out_y, cdt=compute_dtype, block=block,
       interpret=bool(interpret),
-      ide=int(ide_deg), ide_at=ide_at if ide_deg else -1, **rgbe_kw)
+      ide=int(ide_deg), ide_at=ide_at if ide_deg else -1,
+      ide_geo=bool(ide_deg) and bool(ide_geo), **rgbe_kw)
 
   lead = segs[0].shape[:-1]
   n = int(np.prod(lead)) if lead else 1

@@ -584,3 +584,77 @@ def test_rgb_epilogue_with_raw_head_cotangent():
     s = max(1e-3, float(jnp.max(jnp.abs(a))))
     np.testing.assert_allclose(a, b, atol=2e-5 * s, rtol=2e-5,
                                err_msg=jax.tree_util.keystr(path))
+
+
+# ---------------------------------------------------------------------------
+# In-kernel directional geometry (TrunkCfg.ide_geo).
+
+
+def _geo_ref_segments(deg, gp, v, ki):
+  from refnerf_tpu.ops import ref_utils
+  n = -ref_utils.l2_normalize(gp)
+  rd = ref_utils.reflect(-v, n)
+  nd = jnp.sum(n * v, axis=-1, keepdims=True)
+  enc = ref_utils.generate_ide_fn(deg)(rd, ki)
+  p = enc.shape[-1] // 2
+  return enc[..., :p], enc[..., p:], nd
+
+
+@pytest.mark.parametrize('deg', [3, 5])
+def test_ide_geo_trunk_forward_matches(deg):
+  """normalize -> reflect -> IDE -> n.v all in-kernel == the XLA chain."""
+  p2 = 2 * fused_mlp.ide_tables(deg)[0].shape[1]
+  fin = 24 + p2 + 1
+  kernels, biases, _, _ = _params(jax.random.PRNGKey(70), 4, 64, fin,
+                                  head=False)
+  wh = jax.random.normal(jax.random.PRNGKey(71), (64, 3)) / 8.0
+  bh = jax.random.normal(jax.random.PRNGKey(72), (3,)) * 0.01
+  seg0, v, ki, _ = _ide_inputs(jax.random.PRNGKey(73), 67, deg)
+  gp = jax.random.normal(jax.random.PRNGKey(74), (67, 3))
+
+  re, im, nd = _geo_ref_segments(deg, gp, v, ki)
+  ref = fused_mlp.reference_trunk(
+      [seg0, jnp.concatenate([re, im], -1), nd], kernels, biases,
+      head_f32=(wh, bh))
+  out = fused_mlp.fused_trunk(
+      [seg0, (gp, v, ki)], kernels, biases, head_f32=(wh, bh), out_y=True,
+      block=32, ide_deg=deg, ide_at=1, ide_geo=True)
+  for a, b, name in zip(ref, out, ('y', 'h')):
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_ide_geo_trunk_gradients_match():
+  """d loss/d {grad, viewdirs, kappa_inv, seg0, params} vs jax AD through
+  the XLA normalize/reflect/IDE/n.v chain."""
+  deg = 4
+  p2 = 2 * fused_mlp.ide_tables(deg)[0].shape[1]
+  fin = 24 + p2 + 1
+  kernels, biases, _, _ = _params(jax.random.PRNGKey(75), 4, 64, fin,
+                                  head=False)
+  wh = jax.random.normal(jax.random.PRNGKey(76), (64, 3)) / 8.0
+  bh = jax.random.normal(jax.random.PRNGKey(77), (3,)) * 0.01
+  seg0, v, ki, _ = _ide_inputs(jax.random.PRNGKey(78), 53, deg)
+  gp = jax.random.normal(jax.random.PRNGKey(79), (53, 3))
+
+  def loss_ref(params, seg0, gp, v, ki):
+    k, b = params
+    re, im, nd = _geo_ref_segments(deg, gp, v, ki)
+    _, h = fused_mlp.reference_trunk(
+        [seg0, jnp.concatenate([re, im], -1), nd], k, b, head_f32=(wh, bh))
+    return jnp.sum(jnp.sin(h * 0.7))
+
+  def loss_fused(params, seg0, gp, v, ki):
+    k, b = params
+    _, h = fused_mlp.fused_trunk(
+        [seg0, (gp, v, ki)], k, b, head_f32=(wh, bh), out_y=True,
+        needs_dx=True, block=32, ide_deg=deg, ide_at=1, ide_geo=True)
+    return jnp.sum(jnp.sin(h * 0.7))
+
+  args = ((kernels, biases), seg0, gp, v, ki)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+  gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(gr),
+                          jax.tree.leaves(gf)):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-4,
+                               err_msg=jax.tree_util.keystr(path))

@@ -428,3 +428,54 @@ def test_fuse_dir_rgb_falls_back_on_nonflagship_colors():
       continue
     np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
                                err_msg=k)
+
+
+@pytest.mark.parametrize('train', [True, False])
+def test_fuse_dir_geo_matches(train):
+  """fuse_dir_geo (in-kernel normalize/reflect/IDE/n.v) == the XLA path."""
+  overrides = dict(net_depth_viewdirs=4, deg_view=3)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(40))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(41)}, gaussians,
+                    viewdirs, train=False)['params']
+  ref = _apply(params, gaussians, viewdirs, train,
+               fused_trunk='on', **overrides)
+  out = _apply(params, gaussians, viewdirs, train, fused_trunk='on',
+               fuse_dir_enc=True, fuse_dir_geo=True, **overrides)
+  assert set(ref) == set(out)
+  for k in ref:
+    if ref[k] is None or isinstance(ref[k], float):
+      assert out[k] == ref[k], k
+      continue
+    np.testing.assert_allclose(ref[k], out[k], atol=2e-5, rtol=2e-4,
+                               err_msg=k)
+
+
+def test_all_dir_fusions_gradients_match():
+  """fuse_dir_enc + fuse_dir_geo + fuse_dir_rgb together: full loss grads
+  (incl. second order through the density normals) equal the XLA path."""
+  overrides = dict(net_depth_viewdirs=4, deg_view=3)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(42))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(43)}, gaussians,
+                    viewdirs, train=False)['params']
+
+  def loss(params, fuse):
+    r = _apply(params, gaussians, viewdirs, True, fused_trunk='on',
+               fuse_dir_enc=fuse, fuse_dir_geo=fuse, fuse_dir_rgb=fuse,
+               **overrides)
+    t = jnp.mean((r['rgb'] - 0.5) ** 2) + jnp.mean(r['density'])
+    t = t + jnp.mean(jnp.sum(r['normals'] * r['normals_pred'], axis=-1))
+    t = t + jnp.mean(r['roughness'])
+    return t
+
+  g_ref = jax.grad(loss)(params, False)
+  g_fus = jax.grad(loss)(params, True)
+  flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+  flat_f = jax.tree.leaves(g_fus)
+  assert len(flat_r) == len(flat_f)
+  for (path, a), b in zip(flat_r, flat_f):
+    scale = max(1e-3, float(jnp.max(jnp.abs(a))))
+    np.testing.assert_allclose(
+        a, b, atol=5e-4 * scale, rtol=1e-3,
+        err_msg=jax.tree_util.keystr(path))

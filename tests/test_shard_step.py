@@ -173,6 +173,7 @@ NerfMLP.fused_trunk = 'on'
 NerfMLP.fused_block = 16
 NerfMLP.fuse_compositing = True
 NerfMLP.fuse_dir_enc = True
+NerfMLP.fuse_dir_geo = True
 NerfMLP.fuse_dir_rgb = True
 """
 
