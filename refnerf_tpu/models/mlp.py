@@ -455,6 +455,10 @@ class MLP(nn.Module):
         # backward) never materializes; the kernel reads refdirs/kappa_inv.
         fuse_ide = (fused_dir and self.fuse_dir_enc
                     and self.use_directional_enc)
+        if (self.fuse_dir_enc and fused_dir and not fuse_ide
+            and not self.is_initializing()):
+          _warn_fused_fallback('fuse_dir_enc inactive',
+                               'needs use_directional_enc')
         lead = means.shape[:-1]
         flat = ((lambda t: t.reshape((-1,) + t.shape[len(lead):]))
                 if fused_dir else (lambda t: t))
@@ -477,6 +481,11 @@ class MLP(nn.Module):
         # their backwards) run lane-starved in XLA.
         fuse_geo = (fuse_ide and self.fuse_dir_geo and self.use_reflections
                     and self.use_n_dot_v and self.enable_pred_normals)
+        if (self.fuse_dir_geo and fused_dir and not fuse_geo
+            and not self.is_initializing()):
+          _warn_fused_fallback(
+              'fuse_dir_geo inactive',
+              'needs fuse_dir_enc + reflections + n_dot_v + pred normals')
         enc_dirs = None
         if fuse_geo:
           pass  # geometry happens in-kernel
@@ -524,6 +533,11 @@ class MLP(nn.Module):
               and self.srgb_mapping_normalization
               and self.rgb_activation in (nn.sigmoid, jax.nn.sigmoid)
               and self.num_rgb_channels == 3)
+          if (self.fuse_dir_rgb and not fuse_rgb
+              and not self.is_initializing()):
+            _warn_fused_fallback(
+                'fuse_dir_rgb inactive',
+                'needs diffuse+tint+srgb+norm with sigmoid rgb_activation')
           ks, bs = self._stack_params(self.viewdir_mlp)
           rp = self.rgb_layer.variables['params']
           outs = fused_mlp.fused_trunk(

@@ -479,3 +479,26 @@ def test_all_dir_fusions_gradients_match():
     np.testing.assert_allclose(
         a, b, atol=5e-4 * scale, rtol=1e-3,
         err_msg=jax.tree_util.keystr(path))
+
+
+def test_inactive_fusion_flags_warn_once(caplog):
+  """A fusion flag set on a config where it cannot take effect must log
+  the fallback (once), not silently do nothing."""
+  import logging as pylogging
+
+  from refnerf_tpu.models import mlp as mlp_mod
+
+  mlp_mod._FALLBACK_WARNED.clear()
+  overrides = dict(net_depth_viewdirs=4, srgb_mapping_normalization=False)
+  gaussians, viewdirs = _gaussians(jax.random.PRNGKey(50))
+  mlp = MLP(**{**MLP_KW, **overrides}, fused_trunk='off')
+  params = mlp.init({'params': jax.random.PRNGKey(51)}, gaussians,
+                    viewdirs, train=False)['params']
+  with caplog.at_level(pylogging.WARNING):
+    _apply(params, gaussians, viewdirs, False, fused_trunk='on',
+           fuse_dir_rgb=True, **overrides)
+    _apply(params, gaussians, viewdirs, False, fused_trunk='on',
+           fuse_dir_rgb=True, **overrides)
+  hits = [r for r in caplog.records
+          if 'fuse_dir_rgb inactive' in r.getMessage()]
+  assert len(hits) == 1
