@@ -15,9 +15,19 @@ run() {
     || echo "{\"metric\": \"${label}\", \"error\": \"run failed/timeout\"}"
 }
 
+ALL="NerfMLP.fuse_compositing = True; NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_geo = True; NerfMLP.fuse_dir_rgb = True"
+
 run baseline ""
 run compositing "NerfMLP.fuse_compositing = True"
 run dir_enc "NerfMLP.fuse_dir_enc = True"
+run dir_enc_geo "NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_geo = True"
 run dir_rgb "NerfMLP.fuse_dir_rgb = True"
-run dir_both "NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_rgb = True"
-run all "NerfMLP.fuse_compositing = True; NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_rgb = True"
+run all "${ALL}"
+
+echo "== all + serving (BENCH_FWD=1)"
+BENCH_FWD=1 BENCH_BINDINGS="${ALL}" timeout 1800 python bench.py \
+  || echo '{"metric": "all_fwd", "error": "run failed/timeout"}'
+echo "== all + geometry losses"
+BENCH_GIN=configs/llff_refnerf_geometry_losses.gin \
+  BENCH_BINDINGS="${ALL}" timeout 1800 python bench.py \
+  || echo '{"metric": "all_geometry", "error": "run failed/timeout"}'
