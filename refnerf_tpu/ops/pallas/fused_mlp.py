@@ -32,6 +32,18 @@ with every intermediate resident in VMEM:
 - **Density-gradient chain** (`density_grad`): the inner reverse pass that
   yields Ref-NeRF's analytic normals (reference internal/models.py:601-611)
   runs in the same kernel.
+- **Compositing epilogue** (`weights`): sigma -> transmittance weights via
+  a block-diagonal strictly-lower-triangular MXU matmul (rows are
+  ray-major); sigma never leaves VMEM and the epilogue tensors move as
+  [rays, samples] tiles (reference internal/render.py:132-149).
+- **In-kernel IDE** (`ide`, optionally `ide_geo`): the integrated
+  directional encoding - and with geo, the normalize/reflect/n.v geometry
+  feeding it - computes in VMEM from refdirs/kappa_inv (or raw
+  grad_pred/viewdirs), with a closed-form complex-power backward
+  (reference internal/ref_utils.py:96-151).
+- **Color epilogue** (`rgbe`): the Ref-NeRF diffuse/tint/srgb chain after
+  the rgb head, backed by jax.vjp in-kernel for exact AD tie semantics
+  (reference internal/models.py:715-745).
 
 The custom VJP recomputes activations in VMEM (flash-attention style) and
 emits all first- AND second-order parameter cotangents in one pass.
