@@ -253,7 +253,7 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
     d['sg'] = rr.take()        # (1, P) f32 vMF attenuation sigmas
     d['gm'] = rr.take()        # (l_max+1, P) {0,1} power-gather matrix
   if cfg.weights:
-    d['delta'] = rr.take()     # (blk, 1) f32 per-sample t-interval * |dir|
+    d['delta'] = rr.take()     # (rays, S) f32 per-sample t-interval * |dir|
     d['bsig'] = rr.take()      # (1, 1) f32 density-head + activation bias
   if cfg.rgbe:
     d['rawd'] = rr.take()      # (blk, 3) f32 raw diffuse color
@@ -310,7 +310,7 @@ def _in_dims(cfg: TrunkCfg) -> Tuple[int, ...]:
 def _onehot_row(i, k):
   """[1, k] f32 one-hot at column i, generated in-kernel (pallas kernels
   may not capture array constants; iota + where is the Mosaic-safe idiom,
-  cf. _ray_masks)."""
+  cf. _scan_mask)."""
   lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
   return jnp.where(lane == i, jnp.float32(1), jnp.float32(0))
 
@@ -435,40 +435,35 @@ def _ide_bwd(cfg: TrunkCfg, d, aux, g_re, g_im):
   return d_rd, d_ki
 
 
-def _ray_masks(cfg: TrunkCfg):
-  """Block-diagonal strictly-lower ray mask for the transmittance scan.
+def _scan_mask(cfg: TrunkCfg):
+  """[S, S] strictly-lower sample mask for the transmittance scan.
 
-  Rows are ray-major/samples-minor, so a block of `block` rows holds
-  block // weights whole rays; L[i, j] = 1 iff j < i within the same ray.
-  The exclusive prefix sum over samples is then the MXU matmul L @ dd and
-  the backward's suffix sum is L^T @ x (reference compositing:
+  The epilogue math runs ray-major [rays, S] (S = samples on the lane
+  axis: full VPU lanes), so the per-ray exclusive prefix sum over samples
+  is the MXU matmul dd @ L^T with L[i, j] = 1 iff j < i, and the
+  backward's suffix sum is x @ L (reference compositing:
   internal/render.py:132-149; oracle: tests/test_epilogue_design.py).
   """
-  blk, s = cfg.block, cfg.weights
-  row = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
-  col = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
-  same_ray = (row // s) == (col // s)
-  return jnp.where((col < row) & same_ray,
-                   jnp.float32(1), jnp.float32(0))
-
-
-def _delta_col(cfg: TrunkCfg, d):
-  """The per-sample delta as a [blk, 1] column (it moves through HBM as
-  [blk/S, S] tiles; rows are ray-major so this reshape is layout-free)."""
-  return d['delta'][:].reshape(cfg.block, 1)
+  s = cfg.weights
+  row = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+  return jnp.where(col < row, jnp.float32(1), jnp.float32(0))
 
 
 def _epilogue_fwd(cfg: TrunkCfg, d, sig_raw):
   """In-kernel compositing weights from the raw density column.
 
   sigma = softplus(raw + bsig); dd = sigma * delta; w = alpha * trans.
-  Everything runs f32 ([blk, 1] columns + one [blk, blk] masked matmul).
-  Returns (w, trans, dd, sigma, raw_t).
+  Everything runs f32 in [rays, S] layout (rows are ray-major, so the
+  regroup from the [blk, 1] head column is a free in-VMEM reshape), with
+  one [rays, S] @ [S, S] triangular MXU matmul for the scan.
+  Returns (w, trans, dd, sigma, raw_t) - all [rays, S].
   """
-  raw_t = sig_raw + d['bsig'][:]
+  s = cfg.weights
+  raw_t = sig_raw.reshape(cfg.block // s, s) + d['bsig'][:]
   sigma = jax.nn.softplus(raw_t)
-  dd = sigma * _delta_col(cfg, d)
-  excl = _dot(_ray_masks(cfg), dd, ((1,), (0,)))
+  dd = sigma * d['delta'][:]
+  excl = _dot(dd, _scan_mask(cfg), ((1,), (1,)))
   trans = jnp.exp(-excl)
   alpha = 1.0 - jnp.exp(-dd)
   return alpha * trans, trans, dd, sigma, raw_t
@@ -675,17 +670,18 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
       # reverse: with dd_i = sigma_i delta_i, T_i = exp(-excl_i),
       # w_i = (1 - exp(-dd_i)) T_i,
       #   d w_i / d dd_i = T_i - w_i,  d w_i / d dd_k = -w_i (k < i)
-      # so ct_dd = wbar*(T - w) - suffix_sum(wbar*w) (suffix = L^T @ x),
-      # ct_raw = ct_dd * delta * sigmoid(raw + bsig) (softplus').
+      # so ct_dd = wbar*(T - w) - suffix_sum(wbar*w) (suffix = x @ L in
+      # the [rays, S] layout), ct_raw = ct_dd * delta * sigmoid(raw +
+      # bsig) (softplus').
       # Exactness vs jax.grad: tests/test_epilogue_design.py.
       sig_raw = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
       w, trans, _, _, raw_t = _epilogue_fwd(cfg, d, sig_raw)
-      wbar = wbar_ref[:].reshape(cfg.block, 1)
-      suffix = _dot(_ray_masks(cfg), wbar * w, ((0,), (0,)))
-      ct_raw = ((wbar * (trans - w) - suffix) * _delta_col(cfg, d)
+      wbar = wbar_ref[:]  # [rays, S]
+      suffix = _dot(wbar * w, _scan_mask(cfg), ((1,), (0,)))
+      ct_raw = ((wbar * (trans - w) - suffix) * d['delta'][:]
                 * jax.nn.sigmoid(raw_t))
-      sbar = sbar + ct_raw
-      dbsig_ref[:] += jnp.sum(ct_raw, axis=0, keepdims=True)
+      sbar = sbar + ct_raw.reshape(cfg.block, 1)
+      dbsig_ref[:] += jnp.sum(ct_raw, keepdims=True)
     g32 = sbar * d['wd'][:]
     dwd_ref[:] += _dot(sbar, y32, ((0,), (0,)))
   if cfg.h_f32:
