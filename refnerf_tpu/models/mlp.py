@@ -117,6 +117,12 @@ class MLP(nn.Module):
   # n.v input scalar - from the raw grad_pred/viewdirs. Takes effect only
   # with reflections + n.v + predicted normals (the flagship stack).
   fuse_dir_geo: bool = False
+  # Feed the fused spatial kernel closed-form lifted Gaussians (lm, lv)
+  # computed by render.cast_rays_lifted from the ray/tdist moments -
+  # the [..., samples, 3, 3] covariances and their 3-lane-occupied
+  # reduction never enter the program. The model computes and passes them
+  # via `lifted`; takes effect only when the fused spatial path dispatches.
+  fuse_lift: bool = False
   rgb_premultiplier: float = 1.0
   rgb_activation: Callable[..., Any] = nn.sigmoid
   rgb_bias: float = 0.0
@@ -232,7 +238,7 @@ class MLP(nn.Module):
     return ks, bs
 
   def _fused_spatial(self, means, covs, viewdirs, compute_density_normals,
-                     delta=None):
+                     delta=None, lifted=None):
     """Spatial stack on the fused Pallas kernel (ops/pallas/fused_mlp.py).
 
     One kernel evaluates the trunk over the IPE segments (one fused XLA
@@ -281,7 +287,10 @@ class MLP(nn.Module):
     # deg-major, basis-minor) and folds the scales back out of the density
     # gradient, so u returns n_basis-wide too.
     basis = jnp.asarray(self.pos_basis_t)
-    lm, lv = coord.lift_and_diagonalize(means, covs, basis)
+    if lifted is None:
+      lm, lv = coord.lift_and_diagonalize(means, covs, basis)
+    else:
+      lm, lv = lifted  # closed-form producer (render.cast_rays_lifted)
     scales = 2.0 ** np.arange(self.min_deg_point, self.max_deg_point)
 
     outs = fused_mlp.fused_encoded_trunk(
@@ -338,7 +347,7 @@ class MLP(nn.Module):
     return raw_density, x
 
   def __call__(self, gaussians, viewdirs=None, imageplane=None, train=False,
-               rng=None, delta=None):
+               rng=None, delta=None, lifted=None):
     """Evaluate the MLP on sample Gaussians.
 
     Args:
@@ -352,6 +361,9 @@ class MLP(nn.Module):
         background pre-clamped to a large finite value). With
         `fuse_compositing` and the fused spatial path this yields
         ray_results['weights'] from the in-kernel compositing epilogue.
+      lifted: optional closed-form (lm, lv) from render.cast_rays_lifted
+        (the `fuse_lift` producer); gaussians' covs may then be None. Only
+        valid when the fused spatial path dispatches.
 
     Returns:
       dict of per-sample results: density, rgb, and conditionally normals,
@@ -375,7 +387,12 @@ class MLP(nn.Module):
     fh = None
     if self._fused(self.net_depth):
       x, raw_density, fh, normals = self._fused_spatial(
-          means, covs, viewdirs, compute_density_normals, delta=delta)
+          means, covs, viewdirs, compute_density_normals, delta=delta,
+          lifted=lifted)
+    elif lifted is not None:
+      raise ValueError(
+          'lifted (fuse_lift) inputs require the fused spatial path; the '
+          'model must gate cast_rays_lifted on the same dispatch predicate.')
     elif compute_density_normals:
       # Nested AD: d(sum raw_density)/d(means) gives per-sample density
       # gradients in one fused backward (covs are independent of means).

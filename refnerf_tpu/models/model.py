@@ -128,14 +128,26 @@ class Model(nn.Module):
 
       tdist = s_to_t(sdist)
 
-      gaussians = render.cast_rays(
-          tdist, rays.origins, rays.directions, rays.radii, self.ray_shape,
-          diag=False)
-
-      if self.disable_integration:
-        gaussians = (gaussians[0], jnp.zeros_like(gaussians[1]))
-
       mlp = self._level_mlp(is_prop)
+      lifted = None
+      if getattr(mlp, 'fuse_lift', False) and mlp._fused(mlp.net_depth):
+        # Closed-form lifted-Gaussian producer: (lm, lv) straight from the
+        # ray/tdist moments and per-ray basis dot products - the
+        # [..., s, 3, 3] covariances never materialize (cast_rays_lifted).
+        means, lm, lv = render.cast_rays_lifted(
+            tdist, rays.origins, rays.directions, rays.radii,
+            self.ray_shape, jnp.asarray(mlp.pos_basis_t))
+        if self.disable_integration:
+          lv = jnp.zeros_like(lv)
+        gaussians = (means, None)
+        lifted = (lm, lv)
+      else:
+        gaussians = render.cast_rays(
+            tdist, rays.origins, rays.directions, rays.radii, self.ray_shape,
+            diag=False)
+        if self.disable_integration:
+          gaussians = (gaussians[0], jnp.zeros_like(gaussians[1]))
+
       if rng is not None:
         rng, key_mlp = jax.random.split(rng)
       else:
@@ -159,7 +171,8 @@ class Model(nn.Module):
           rays.imageplane,
           train,
           key_mlp,
-          delta)
+          delta,
+          lifted)
 
       weights = ray_results.pop('weights', None)
       if weights is None:

@@ -36,6 +36,21 @@ def lift_gaussian(d, t_mean, t_var, r_var, diag):
     return mean, t_cov + xy_cov
 
 
+def _cone_moments(t0, t1):
+  """Stable 1D/radial moments of a conical frustum (mip-NeRF Eq 7).
+
+  Returns (t_mean, t_var, r_var_unit) with r_var_unit the radial variance
+  per unit base radius squared.
+  """
+  mu = (t0 + t1) / 2
+  hw = (t1 - t0) / 2
+  t_mean = mu + (2 * mu * hw**2) / jnp.maximum(_EPS, 3 * mu**2 + hw**2)
+  denom = jnp.maximum(_EPS, 3 * mu**2 + hw**2)
+  t_var = (hw**2) / 3 - (4 / 15) * hw**4 * (12 * mu**2 - hw**2) / denom**2
+  r_var = (mu**2) / 4 + (5 / 12) * hw**2 - (4 / 15) * (hw**4) / denom
+  return t_mean, t_var, r_var
+
+
 def conical_frustum_to_gaussian(d, t0, t1, base_radius, diag, stable=True):
   """Moment-match a conical frustum with a Gaussian (mip-NeRF Eq 7).
 
@@ -44,12 +59,7 @@ def conical_frustum_to_gaussian(d, t0, t1, base_radius, diag, stable=True):
   (catastrophic cancellation; kept for testing only).
   """
   if stable:
-    mu = (t0 + t1) / 2
-    hw = (t1 - t0) / 2
-    t_mean = mu + (2 * mu * hw**2) / jnp.maximum(_EPS, 3 * mu**2 + hw**2)
-    denom = jnp.maximum(_EPS, 3 * mu**2 + hw**2)
-    t_var = (hw**2) / 3 - (4 / 15) * hw**4 * (12 * mu**2 - hw**2) / denom**2
-    r_var = (mu**2) / 4 + (5 / 12) * hw**2 - (4 / 15) * (hw**4) / denom
+    t_mean, t_var, r_var = _cone_moments(t0, t1)
   else:
     t_mean = (3 * (t1**4 - t0**4)) / (4 * (t1**3 - t0**3))
     r_var = 3 / 20 * (t1**5 - t0**5) / (t1**3 - t0**3)
@@ -80,6 +90,61 @@ def cast_rays(tdist, origins, directions, radii, ray_shape, diag=True):
   means, covs = gaussian_fn(directions, t0, t1, radii, diag)
   means = means + origins[..., None, :]
   return means, covs
+
+
+def cast_rays_lifted(tdist, origins, directions, radii, ray_shape, basis):
+  """Sample Gaussians pre-projected onto `basis`: (means, lm, lv).
+
+  Algebraically equal to `coord.lift_and_diagonalize(*cast_rays(...,
+  diag=False), basis)` (reference internal/render.py:105-129 +
+  internal/coord.py:129-133) but in closed form: with the frustum Gaussian
+
+      cov = t_var (d d^T) + r_var (I - d d^T / |d|^2),
+
+  the projected diagonal is p^T cov p = t_var (d.p)^2 +
+  r_var (|p|^2 - (d.p)^2 / |d|^2), so the lift needs only per-RAY basis
+  dot products plus the per-sample 1D moments. Every tensor is
+  [..., samples] or [..., n_basis] wide - full VPU lanes on TPU - and the
+  [..., samples, 3, 3] covariances never enter the program (XLA cannot do
+  this algebra itself; the 3x3 formulation runs 3-lane-occupied).
+
+  Args:
+    tdist: [..., s+1] fencepost distances.
+    origins, directions: [..., 3] rays (directions need not be unit).
+    radii: [..., 1] base radii.
+    ray_shape: 'cone' | 'cylinder'.
+    basis: [3, n_basis] projection basis.
+
+  Returns:
+    means [..., s, 3], lifted means [..., s, n_basis], lifted variance
+    diagonal [..., s, n_basis].
+  """
+  t0 = tdist[..., :-1]
+  t1 = tdist[..., 1:]
+  if ray_shape == 'cone':
+    t_mean, t_var, r_var = _cone_moments(t0, t1)
+  elif ray_shape == 'cylinder':
+    t_mean = (t0 + t1) / 2
+    t_var = (t1 - t0)**2 / 12
+    r_var = jnp.full_like(t_mean, 0.25)
+  else:
+    raise ValueError("ray_shape must be 'cone' or 'cylinder'")
+  r_var = r_var * radii**2  # radii broadcast over the sample axis
+
+  dp = jnp.matmul(directions, basis)   # [..., n] per-ray direction . p_j
+  op = jnp.matmul(origins, basis)      # [..., n] per-ray origin . p_j
+  pp = jnp.sum(basis * basis, axis=0)  # [n] static |p_j|^2
+  d_mag_sq = jnp.maximum(
+      1e-10, jnp.sum(directions**2, axis=-1, keepdims=True))
+  dp2 = dp**2
+  null_p = pp - dp2 / d_mag_sq
+
+  lm = op[..., None, :] + t_mean[..., None] * dp[..., None, :]
+  lv = (t_var[..., None] * dp2[..., None, :]
+        + r_var[..., None] * null_p[..., None, :])
+  means = (origins[..., None, :]
+           + directions[..., None, :] * t_mean[..., None])
+  return means, lm, lv
 
 
 def compute_alpha_weights(density, tdist, dirs, opaque_background=False):

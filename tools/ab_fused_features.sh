@@ -15,13 +15,14 @@ run() {
     || echo "{\"metric\": \"${label}\", \"error\": \"run failed/timeout\"}"
 }
 
-ALL="NerfMLP.fuse_compositing = True; NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_geo = True; NerfMLP.fuse_dir_rgb = True"
+ALL="NerfMLP.fuse_compositing = True; NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_geo = True; NerfMLP.fuse_dir_rgb = True; NerfMLP.fuse_lift = True"
 
 run baseline ""
 run compositing "NerfMLP.fuse_compositing = True"
 run dir_enc "NerfMLP.fuse_dir_enc = True"
 run dir_enc_geo "NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_geo = True"
 run dir_rgb "NerfMLP.fuse_dir_rgb = True"
+run lift "NerfMLP.fuse_lift = True"
 run all "${ALL}"
 
 echo "== all + serving (BENCH_FWD=1)"
