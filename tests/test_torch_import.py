@@ -1,0 +1,141 @@
+"""Torch-reference checkpoint import: converted weights == reference model.
+
+The strongest possible evidence for tools/import_torch_checkpoint.py: build
+the ACTUAL torch reference model (its own random weights, its own geopoly
+basis ordering), convert its state_dict through refnerf_tpu.interop, and
+assert the Flax model renders the same images. This specifically exercises
+the signed basis-permutation row remap - a naive transpose-copy fails it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+import refbridge
+
+jax = pytest.importorskip('jax')
+torch = pytest.importorskip('torch')
+
+from refnerf_tpu import interop  # noqa: E402
+from refnerf_tpu.models.mlp import MLP  # noqa: E402
+from refnerf_tpu.models.model import Model  # noqa: E402
+from refnerf_tpu.ops import geopoly  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(refbridge.REF_ROOT), reason='reference not mounted')
+
+import test_reference_parity_model as tpm  # noqa: E402
+
+
+def test_known_basis_maps_current():
+  """KNOWN_BASIS_MAPS must match the mounted reference's geopoly exactly."""
+  import internal.geopoly as ref_geopoly
+
+  for (shape, sub), (sigma, signs) in interop.KNOWN_BASIS_MAPS.items():
+    ours = np.array(geopoly.generate_basis(shape, sub))
+    theirs = np.array(ref_geopoly.generate_basis(shape, sub))
+    got_sigma, got_signs = interop.basis_signed_permutation(ours, theirs)
+    assert got_sigma == sigma, (shape, sub)
+    assert got_signs == signs, (shape, sub)
+
+
+def _build_uncopied_pair(basis_shape, basis_subdivisions):
+  """(torch model w/ its own weights+basis, flax model, flax template)."""
+  mlp_kw = dict(tpm.MLP_KW, basis_shape=basis_shape,
+                basis_subdivisions=basis_subdivisions)
+  sc = dict(tpm.SCENARIOS['refnerf'])
+  sc.pop('srgb_mapping_when_rendering')
+  sc.pop('srgb_mapping_type')
+
+  fm = Model(
+      nerf_mlp=MLP(name='NerfMLP', **mlp_kw),
+      prop_mlp=None,
+      bg_intensity_range=(1.0, 1.0),
+      vis_num_rays=4,
+      **sc)
+  arrays = tpm.make_ray_arrays(tpm.N_RAYS)
+  template = fm.init({'params': jax.random.PRNGKey(7)}, tpm.jax_rays(arrays),
+                     train_frac=1.0, compute_extras=False,
+                     train=False)['params']
+
+  REF = tpm.REF
+  ref_cfg = tpm._ref_model_config()
+  saved = (REF.models.NerfMLP, REF.models.PropMLP)
+  try:
+    REF.models.NerfMLP = lambda: REF.models.MLP(**mlp_kw)
+    REF.models.PropMLP = REF.models.NerfMLP
+    tm = REF.models.Model(config=ref_cfg, single_mlp=True,
+                          bg_intensity_range=(1.0, 1.0), **sc)
+  finally:
+    REF.models.NerfMLP, REF.models.PropMLP = saved
+
+  # Materialize LazyLinear with one dummy forward; weights stay the torch
+  # default init and pos_basis_t stays the REFERENCE's own ordering.
+  tm.eval()
+  with torch.no_grad():
+    tm(tpm.torch_rays(arrays), train_frac=1.0, compute_extras=False)
+  return tm, fm, template, arrays
+
+
+@pytest.mark.parametrize('basis', [('octahedron', 1), ('icosahedron', 2)],
+                         ids=['octa1', 'icosa2-signed'])
+def test_import_matches_reference_forward(basis):
+  tm, fm, template, arrays = _build_uncopied_pair(*basis)
+  sd = {'model.' + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+  sd['_ignored_extra'] = np.zeros(3)  # non-model keys must not break import
+
+  params = interop.torch_state_dict_to_params(sd, template, fm)
+  assert jax.tree.structure(params) == jax.tree.structure(dict(template))
+
+  t_rend, t_hist = tpm.run_torch(tm, arrays, train=False)
+  j_rend, j_hist = tpm.run_jax(fm, params, arrays, train=False)
+  np.testing.assert_allclose(
+      np.asarray(j_rend[-1]['rgb']), t_rend[-1]['rgb'].detach().numpy(),
+      atol=2e-5, rtol=2e-4)
+  np.testing.assert_allclose(
+      np.asarray(j_rend[-1]['acc']), t_rend[-1]['acc'].detach().numpy(),
+      atol=2e-5, rtol=2e-4)
+  np.testing.assert_allclose(
+      np.asarray(j_hist[-1]['density']),
+      t_hist[-1]['density'].detach().numpy(), atol=2e-4, rtol=2e-3)
+
+
+def test_naive_copy_would_be_wrong():
+  """Regression guard on the guard: with the signed icosahedron basis, an
+  identity basis map must NOT reproduce the reference (proves the permute
+  rows actually do something on the flagship basis config)."""
+  tm, fm, template, arrays = _build_uncopied_pair('icosahedron', 2)
+  sd = {'model.' + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+
+  nb = 21
+  saved = interop.KNOWN_BASIS_MAPS[('icosahedron', 2)]
+  interop.KNOWN_BASIS_MAPS[('icosahedron', 2)] = (
+      tuple(range(nb)), (1,) * nb)
+  try:
+    params = interop.torch_state_dict_to_params(sd, template, fm)
+  finally:
+    interop.KNOWN_BASIS_MAPS[('icosahedron', 2)] = saved
+  t_rend, _ = tpm.run_torch(tm, arrays, train=False)
+  j_rend, _ = tpm.run_jax(fm, params, arrays, train=False)
+  diff = np.max(np.abs(np.asarray(j_rend[-1]['rgb']) -
+                       t_rend[-1]['rgb'].detach().numpy()))
+  assert diff > 1e-3, 'identity map unexpectedly matched - test is vacuous'
+
+
+def test_architecture_mismatch_is_loud():
+  tm, fm, template, arrays = _build_uncopied_pair('octahedron', 1)
+  sd = {'model.' + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+  wrong = Model(
+      nerf_mlp=MLP(name='NerfMLP',
+                   **dict(tpm.MLP_KW, basis_shape='octahedron',
+                          basis_subdivisions=1, max_deg_point=8)),
+      prop_mlp=None, num_levels=2, num_prop_samples=4, num_nerf_samples=4)
+  arrays2 = tpm.make_ray_arrays(8)
+  wrong_template = wrong.init(
+      {'params': jax.random.PRNGKey(0)}, tpm.jax_rays(arrays2),
+      train_frac=1.0, compute_extras=False, train=False)['params']
+  with pytest.raises(ValueError, match='encoding|mismatch'):
+    interop.torch_state_dict_to_params(sd, wrong_template, wrong)
