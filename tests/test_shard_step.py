@@ -175,6 +175,7 @@ NerfMLP.fuse_compositing = True
 NerfMLP.fuse_dir_enc = True
 NerfMLP.fuse_dir_geo = True
 NerfMLP.fuse_dir_rgb = True
+NerfMLP.fuse_lift = True
 """
 
 
