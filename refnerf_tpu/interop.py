@@ -187,6 +187,65 @@ def convert_mlp(state_dict: Mapping[str, Any], prefix: str,
   return out
 
 
+def _mlp_to_state_dict(sub: Mapping[str, Any], prefix: str, mlp,
+                       ref_basis: Optional[np.ndarray] = None
+                       ) -> Dict[str, np.ndarray]:
+  """Inverse of convert_mlp: Flax MLP subtree -> reference state_dict keys."""
+  shape_key = (mlp.basis_shape, mlp.basis_subdivisions)
+  if ref_basis is not None:
+    ours = np.array(geopoly.generate_basis(*shape_key))
+    sigma, signs = basis_signed_permutation(ours, ref_basis)
+  elif shape_key in KNOWN_BASIS_MAPS:
+    sigma, signs = KNOWN_BASIS_MAPS[shape_key]
+  else:
+    raise ValueError(f'no known basis mapping for {shape_key}; pass '
+                     'ref_basis (see convert_mlp)')
+  num_degs = mlp.max_deg_point - mlp.min_deg_point
+  rows, row_signs = encoding_row_map(num_degs, sigma, signs)
+  inv_rows = np.empty_like(rows)
+  inv_rows[rows] = np.arange(len(rows))
+  inv_signs = row_signs[inv_rows]
+
+  out: Dict[str, np.ndarray] = {}
+  for name, leaf in sub.items():
+    kernel = np.asarray(leaf['kernel'], dtype=np.float32)
+    if name == 'spatial_0':
+      kernel = kernel[inv_rows] * inv_signs[:, None]
+    elif (name.startswith('spatial_') and
+          int(name.split('_')[-1]) > 1 and
+          (int(name.split('_')[-1]) - 1) % mlp.skip_layer == 0):
+      nw = mlp.net_width
+      kernel = np.concatenate(
+          [kernel[:nw], kernel[nw:][inv_rows] * inv_signs[:, None]], axis=0)
+    tname = _torch_layer_name(name)
+    out[f'{prefix}{tname}.weight'] = kernel.T.copy()
+    out[f'{prefix}{tname}.bias'] = np.asarray(leaf['bias'],
+                                              dtype=np.float32).copy()
+  return out
+
+
+def params_to_torch_state_dict(params, model,
+                               ref_basis: Optional[np.ndarray] = None
+                               ) -> Dict[str, np.ndarray]:
+  """Export this framework's params as a reference-layout state_dict.
+
+  The exact inverse of torch_state_dict_to_params: keys are
+  'model.nerf_mlp.*' (plus 'model.prop_mlp.*' when two MLPs exist, or
+  aliased to the nerf weights under single_mlp so the reference's
+  shared-module layout loads cleanly).
+  """
+  out = _mlp_to_state_dict(params['nerf_mlp'], 'model.nerf_mlp.',
+                           model.nerf_mlp, ref_basis=ref_basis)
+  prop = params.get('prop_mlp')
+  if prop is not None:
+    out.update(_mlp_to_state_dict(prop, 'model.prop_mlp.', model.prop_mlp,
+                                  ref_basis=ref_basis))
+  else:
+    out.update({k.replace('model.nerf_mlp.', 'model.prop_mlp.'): v
+                for k, v in list(out.items())})
+  return out
+
+
 def torch_state_dict_to_params(state_dict: Mapping[str, Any], params, model,
                                ref_basis: Optional[np.ndarray] = None):
   """Convert a reference Lightning state_dict into this framework's params.

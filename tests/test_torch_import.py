@@ -125,6 +125,37 @@ def test_naive_copy_would_be_wrong():
   assert diff > 1e-3, 'identity map unexpectedly matched - test is vacuous'
 
 
+@pytest.mark.parametrize('basis', [('octahedron', 1), ('icosahedron', 2)],
+                         ids=['octa1', 'icosa2-signed'])
+def test_export_roundtrip_exact(basis):
+  """params -> reference state_dict -> params is bit-exact."""
+  _, fm, template, _ = _build_uncopied_pair(*basis)
+  sd = interop.params_to_torch_state_dict(template, fm)
+  assert 'model.prop_mlp.rgb.weight' in sd  # single_mlp aliases prop keys
+  back = interop.torch_state_dict_to_params(sd, template, fm)
+  for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(dict(template)),
+                          jax.tree.leaves(back)):
+    np.testing.assert_array_equal(np.asarray(a), b,
+                                  err_msg=jax.tree_util.keystr(path))
+
+
+def test_exported_state_dict_loads_into_reference():
+  """torch's own load_state_dict accepts the export, and the reference
+  model then renders what the Flax model renders."""
+  tm, fm, template, arrays = _build_uncopied_pair('icosahedron', 2)
+  sd = interop.params_to_torch_state_dict(template, fm)
+  tensors = {k[len('model.'):]: torch.from_numpy(np.array(v))
+             for k, v in sd.items()}
+  missing, unexpected = tm.load_state_dict(tensors, strict=False)
+  assert not unexpected, unexpected
+
+  t_rend, _ = tpm.run_torch(tm, arrays, train=False)
+  j_rend, _ = tpm.run_jax(fm, template, arrays, train=False)
+  np.testing.assert_allclose(
+      np.asarray(j_rend[-1]['rgb']), t_rend[-1]['rgb'].detach().numpy(),
+      atol=2e-5, rtol=2e-4)
+
+
 def test_architecture_mismatch_is_loud():
   tm, fm, template, arrays = _build_uncopied_pair('octahedron', 1)
   sd = {'model.' + k: v.detach().numpy() for k, v in tm.state_dict().items()}
