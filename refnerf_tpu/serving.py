@@ -30,10 +30,9 @@ from __future__ import annotations
 
 import json
 import struct
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax import export as jax_export
 
