@@ -16,7 +16,6 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
-from refnerf_tpu.ops import mathx
 
 _EPS = float(np.finfo(np.float32).eps)
 

@@ -20,7 +20,6 @@ FRAMES = int(os.environ.get('BENCH_RENDER_FRAMES', 5))
 
 def main():
   import jax
-  import jax.numpy as jnp
   import numpy as np
   jax.config.update('jax_compilation_cache_dir',
                     os.path.join(os.path.dirname(__file__), '..',
