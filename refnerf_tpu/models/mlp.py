@@ -123,6 +123,11 @@ class MLP(nn.Module):
   # reduction never enter the program. The model computes and passes them
   # via `lifted`; takes effect only when the fused spatial path dispatches.
   fuse_lift: bool = False
+  # Run the IPE scale expansion + trig inside the fused spatial kernel
+  # (fused_encoded_trunk in_kernel_trig=True): least HBM traffic, but the
+  # fwd+bwd trig recompute measured -4% pre-fuse_lift on v5e; re-testable
+  # now that fuse_lift changes the producer cost structure.
+  fuse_ipe_trig: bool = False
   rgb_premultiplier: float = 1.0
   rgb_activation: Callable[..., Any] = nn.sigmoid
   rgb_bias: float = 0.0
@@ -298,6 +303,7 @@ class MLP(nn.Module):
         skip_period=self.skip_layer, density_grad=compute_density_normals,
         head_f32=head_f32, head_cdt=head_cdt, out_y=need_y,
         compute_dtype=self.compute_dtype, block=self._block(),
+        in_kernel_trig=self.fuse_ipe_trig,
         delta=delta, act_bias=self.density_bias)
     outs = list(outs if isinstance(outs, tuple) else (outs,))
     y = outs.pop(0) if need_y else None

@@ -136,6 +136,22 @@ def test_model_fuse_lift_gradients_match():
                                err_msg=jax.tree_util.keystr(path))
 
 
+def test_model_fuse_ipe_trig_matches():
+  """fuse_ipe_trig (in-kernel scale expansion + trig) == the XLA producer,
+  with and without fuse_lift."""
+  model_ref, params, rays = _build()
+  for extra in ['NerfMLP.fuse_ipe_trig = True\n',
+                'NerfMLP.fuse_ipe_trig = True\nNerfMLP.fuse_lift = True\n']:
+    model_t, _, _ = _build(extra)
+    ref, _ = model_ref.apply({'params': params}, rays, train_frac=1.0,
+                             compute_extras=False, train=True)
+    out, _ = model_t.apply({'params': params}, rays, train_frac=1.0,
+                           compute_extras=False, train=True)
+    for k in ref[-1]:
+      np.testing.assert_allclose(out[-1][k], ref[-1][k], atol=2e-5,
+                                 rtol=2e-4, err_msg=f'{extra}/{k}')
+
+
 def test_lifted_requires_fused_path():
   """Passing lifted into the plain path is a wiring bug - loud error."""
   key = jax.random.PRNGKey(1)

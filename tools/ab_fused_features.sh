@@ -23,7 +23,9 @@ run dir_enc "NerfMLP.fuse_dir_enc = True"
 run dir_enc_geo "NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_geo = True"
 run dir_rgb "NerfMLP.fuse_dir_rgb = True"
 run lift "NerfMLP.fuse_lift = True"
+run lift_trig "NerfMLP.fuse_lift = True; NerfMLP.fuse_ipe_trig = True"
 run all "${ALL}"
+run all_trig "${ALL}; NerfMLP.fuse_ipe_trig = True"
 
 echo "== all + serving (BENCH_FWD=1)"
 BENCH_FWD=1 BENCH_BINDINGS="${ALL}" timeout 1800 python bench.py \
