@@ -61,7 +61,7 @@ NerfMLP.use_n_dot_v = False
 """
 
 
-def _run(script, gin_file, extra_bindings=()):
+def _run(script, gin_file, extra_bindings=(), extra_args=()):
   env = dict(os.environ)
   env['JAX_PLATFORMS'] = 'cpu'
   # The host image's sitecustomize registers the remote-TPU PJRT plugin
@@ -77,6 +77,7 @@ def _run(script, gin_file, extra_bindings=()):
          f'--gin_configs={gin_file}']
   for b in extra_bindings:
     cmd.append(f'--gin_bindings={b}')
+  cmd.extend(extra_args)
   # Generous timeout: CLI subprocesses compile fresh XLA programs and this
   # host has one CPU core that tests may share with device-side benchmarks.
   return subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -138,3 +139,62 @@ def test_render_cli_after_train(workdir):
       (root / 'exp' / 'ckpt' / 'cli' / 'cli_test').glob('test_preds_step_*'))
   assert out_dirs, 'no render output dir'
   assert any(p.suffix == '.png' for p in out_dirs[0].iterdir())
+
+
+def test_export_serving_cli(workdir):
+  root, gin_file = workdir
+  _ensure_trained(workdir)
+  out = str(root / 'scene.rnsrv')
+  result = _run('tools/export_serving.py', gin_file,
+                extra_args=[f'--out={out}', '--chunk=32',
+                            '--platforms=cpu'])
+  assert result.returncode == 0, result.stderr[-2000:]
+  from refnerf_tpu import serving
+  served = serving.load_serving(out)
+  assert served.chunk == 32 and 'rgb' in served.meta['buffers']
+
+
+def test_torch_checkpoint_cli_roundtrip(workdir):
+  """export_torch_checkpoint -> import_torch_checkpoint restores the same
+  params under a new experiment (pure CLI path, no reference needed -
+  the export IS the reference layout)."""
+  torch = pytest.importorskip('torch')
+  root, gin_file = workdir
+  _ensure_trained(workdir)
+  ckpt = str(root / 'roundtrip.ckpt')
+  result = _run('tools/export_torch_checkpoint.py', gin_file,
+                extra_args=[f'--out={ckpt}'])
+  assert result.returncode == 0, result.stderr[-2000:]
+  blob = torch.load(ckpt, map_location='cpu', weights_only=True)
+  assert blob['global_step'] == 4
+  assert any(k.startswith('model.nerf_mlp.') for k in blob['state_dict'])
+
+  result = _run('tools/import_torch_checkpoint.py', gin_file,
+                extra_bindings=["Config.exp_name = 'reimported'"],
+                extra_args=[f'--ckpt={ckpt}'])
+  assert result.returncode == 0, result.stderr[-2000:]
+
+  import jax
+  from refnerf_tpu import configs as configs_lib
+  from refnerf_tpu.models import construct
+  from refnerf_tpu.train import checkpoints as ckpt_lib
+  from refnerf_tpu.train import step as step_lib
+
+  def load(exp_name):
+    config, gin = configs_lib.parse(
+        [gin_file], [f"Config.exp_name = '{exp_name}'"])
+    model = construct.construct_model(config, gin)
+    params = construct.init_params(jax.random.PRNGKey(config.seed), model)
+    state = step_lib.create_train_state(config, model, params)
+    mgr = ckpt_lib.CheckpointManager(ckpt_lib.checkpoint_dir(config))
+    state = mgr.restore(jax.device_get(state))
+    mgr.close()
+    return state
+
+  orig, back = load('cli_test'), load('reimported')
+  assert int(back.step) == 4
+  for (path, a), b in zip(
+      jax.tree_util.tree_leaves_with_path(orig.params),
+      jax.tree.leaves(back.params)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                  err_msg=jax.tree_util.keystr(path))
