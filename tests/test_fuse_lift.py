@@ -152,6 +152,24 @@ def test_model_fuse_ipe_trig_matches():
                                  rtol=2e-4, err_msg=f'{extra}/{k}')
 
 
+def test_fuse_lift_under_remat():
+  """Model.remat wraps the MLP in nn.remat(static_argnums=(4,)); the
+  lifted pytree is a later positional arg and must trace through."""
+  extra = ('Model.remat = True\nNerfMLP.fuse_lift = True\n'
+           'NerfMLP.fuse_compositing = True\n')
+  model, params, rays = _build(extra)
+
+  def loss(p):
+    r, h = model.apply({'params': p}, rays, train_frac=1.0,
+                       compute_extras=False, train=True)
+    return (jnp.mean((r[-1]['rgb'] - 0.3) ** 2) +
+            jnp.mean(jnp.sum(h[-1]['normals'] * h[-1]['normals_pred'],
+                             axis=-1)))
+
+  g = jax.grad(loss)(params)
+  assert all(bool(jnp.all(jnp.isfinite(x))) for x in jax.tree.leaves(g))
+
+
 def test_lifted_requires_fused_path():
   """Passing lifted into the plain path is a wiring bug - loud error."""
   key = jax.random.PRNGKey(1)
