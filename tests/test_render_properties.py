@@ -68,7 +68,7 @@ def test_volumetric_rendering_color_convexity(seed):
   # render.py:221-223 - no /acc); normalizing by acc gives a convex
   # combination of interval midpoints, which must lie in the t-range.
   acc = weights.sum(-1)
-  norm_dist = rendering['distance'] / jnp.maximum(acc, 1e-6)
+  norm_dist = rendering['distance'][..., 0] / jnp.maximum(acc, 1e-6)
   inside = acc > 1e-3
   assert bool(jnp.all(jnp.where(inside,
                                 norm_dist >= tdist[..., 0] - 1e-4, True)))
