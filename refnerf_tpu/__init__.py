@@ -35,6 +35,8 @@ _API = {
     'setup_model': ('refnerf_tpu.models.construct', 'setup_model'),
     'render_image': ('refnerf_tpu.models.renderer', 'render_image'),
     'MetricHarness': ('refnerf_tpu.metrics', 'MetricHarness'),
+    'export_serving': ('refnerf_tpu.serving', 'export_serving'),
+    'load_serving': ('refnerf_tpu.serving', 'load_serving'),
 }
 
 
