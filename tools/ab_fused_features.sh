@@ -17,15 +17,17 @@ run() {
 
 ALL="NerfMLP.fuse_compositing = True; NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_geo = True; NerfMLP.fuse_dir_rgb = True; NerfMLP.fuse_lift = True"
 
+# Headline first: if the chip/compile-service window turns out short, the
+# all-fusions number is the one that matters most.
 run baseline ""
+run all "${ALL}"
+run all_trig "${ALL}; NerfMLP.fuse_ipe_trig = True"
 run compositing "NerfMLP.fuse_compositing = True"
 run dir_enc "NerfMLP.fuse_dir_enc = True"
 run dir_enc_geo "NerfMLP.fuse_dir_enc = True; NerfMLP.fuse_dir_geo = True"
 run dir_rgb "NerfMLP.fuse_dir_rgb = True"
 run lift "NerfMLP.fuse_lift = True"
 run lift_trig "NerfMLP.fuse_lift = True; NerfMLP.fuse_ipe_trig = True"
-run all "${ALL}"
-run all_trig "${ALL}; NerfMLP.fuse_ipe_trig = True"
 
 echo "== all + serving (BENCH_FWD=1)"
 BENCH_FWD=1 BENCH_BINDINGS="${ALL}" timeout 1800 python bench.py \
