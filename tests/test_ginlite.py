@@ -118,3 +118,15 @@ def test_shipped_config_values():
   nk = configs_lib.mlp_kwargs(gin, 'NerfMLP')
   assert nk['use_reflections'] is True
   assert nk['deg_view'] == 5
+
+
+def test_unknown_config_field_is_loud():
+  from refnerf_tpu import configs as configs_lib
+  with pytest.raises(ValueError, match='batch_sizee'):
+    configs_lib.parse(None, ['Config.batch_sizee = 32'])
+
+
+def test_missing_gin_file_is_loud():
+  from refnerf_tpu import configs as configs_lib
+  with pytest.raises(FileNotFoundError, match='nonexistent'):
+    configs_lib.parse(['/nonexistent/x.gin'], [])
