@@ -262,6 +262,21 @@ def torch_state_dict_to_params(state_dict: Mapping[str, Any], params, model,
     out['prop_mlp'] = convert_mlp(state_dict, 'model.prop_mlp.',
                                   params['prop_mlp'], model.prop_mlp,
                                   ref_basis=ref_basis)
+  else:
+    # single_mlp config: the reference's shared-module layout aliases
+    # model.prop_mlp.* to the nerf weights. If the checkpoint carries
+    # DISTINCT proposal weights, it was trained two-MLP and this config
+    # would silently drop them.
+    for k in state_dict:
+      if not k.startswith('model.prop_mlp.'):
+        continue
+      nk = 'model.nerf_mlp.' + k[len('model.prop_mlp.'):]
+      if nk in state_dict and not np.array_equal(
+          np.asarray(state_dict[k]), np.asarray(state_dict[nk])):
+        raise ValueError(
+            f'checkpoint has distinct prop_mlp weights ({k} != {nk}) but '
+            'the config is single_mlp; bind Model.single_mlp = False to '
+            'import both MLPs')
   extra = set(params) - {'nerf_mlp', 'prop_mlp'}
   if extra:
     raise ValueError(f'unexpected non-MLP param groups: {sorted(extra)}')

@@ -156,6 +156,19 @@ def test_exported_state_dict_loads_into_reference():
       atol=2e-5, rtol=2e-4)
 
 
+def test_distinct_prop_weights_into_single_mlp_is_loud():
+  """A two-MLP checkpoint must not silently lose its proposal weights
+  when imported under a single_mlp config."""
+  tm, fm, template, arrays = _build_uncopied_pair('octahedron', 1)
+  sd = {'model.' + k: v.detach().numpy() for k, v in tm.state_dict().items()}
+  # Perturb one aliased prop tensor to simulate a two-MLP checkpoint.
+  key = 'model.prop_mlp.rgb.weight'
+  assert key in sd
+  sd[key] = sd[key] + 1.0
+  with pytest.raises(ValueError, match='single_mlp'):
+    interop.torch_state_dict_to_params(sd, template, fm)
+
+
 def test_architecture_mismatch_is_loud():
   tm, fm, template, arrays = _build_uncopied_pair('octahedron', 1)
   sd = {'model.' + k: v.detach().numpy() for k, v in tm.state_dict().items()}
