@@ -44,10 +44,15 @@ _SPECULAR_WEIGHT = 0.55
 
 
 def env_radiance(dirs):
-  """Smooth environment radiance as a function of (unit) direction."""
+  """Smooth environment radiance as a function of (unit) direction.
+
+  `dirs` may contain NaN rows for rays that miss the sphere (their shading
+  is masked out by the caller) - silence the spurious invalid-value
+  warning those rows trigger."""
   out = np.full(dirs.shape[:-1] + (3,), 0.08)
-  for d, c, p in _LOBES:
-    out = out + np.maximum(0.0, dirs @ d)[..., None] ** p * c
+  with np.errstate(invalid='ignore'):
+    for d, c, p in _LOBES:
+      out = out + np.maximum(0.0, dirs @ d)[..., None] ** p * c
   return out
 
 
