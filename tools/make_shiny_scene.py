@@ -80,7 +80,8 @@ def render_view(c2w, res):
 
   albedo = 0.5 + 0.5 * normals
   light = np.array([0.58, 0.58, 0.58])
-  lambert = np.clip(normals @ light, 0.1, 1.0)[..., None]
+  with np.errstate(invalid='ignore'):  # NaN miss rays, masked below
+    lambert = np.clip(normals @ light, 0.1, 1.0)[..., None]
   diffuse = albedo * lambert
   specular = env_radiance(refl)
 

@@ -58,7 +58,8 @@ def render_view(c2w, res):
   # Albedo from the normal direction (smooth, view-consistent).
   albedo = 0.5 + 0.5 * normals
   light = np.array([0.58, 0.58, 0.58])
-  lambert = np.clip(normals @ light, 0.1, 1.0)[..., None]
+  with np.errstate(invalid='ignore'):  # NaN miss rays, masked below
+    lambert = np.clip(normals @ light, 0.1, 1.0)[..., None]
   rgb = np.where(hit[..., None], albedo * lambert, 1.0)  # white background
   alpha = hit.astype(np.float32)
   return np.clip(rgb, 0, 1), alpha
