@@ -197,8 +197,11 @@ def noisy_consistency_loss(num_levels, renderings, renderings_noise, config,
   total_diffuse_loss = 0.0
   total_specular_loss = 0.0
   total_normal_loss = 0.0
-  n_samples = config.sample_noise_size // config.patch_size ** 2
   n_angles = config.sample_noise_angles
+  # The sampler clamps the noise-ray count to the batch (sampling.py:56);
+  # derive the effective count from the rendered shape so tiny batches
+  # (debug runs, micro-benches) group correctly instead of crashing.
+  n_samples = renderings_noise[-1]['diffuse'].shape[0] // n_angles
 
   for i, (rendering, rendering_noise) in enumerate(
       zip(renderings, renderings_noise)):
@@ -295,8 +298,10 @@ def noisy_distance_consistency_loss(num_levels, rays, noisy_rays, renderings,
   """3D expected-surface-point consistency across perturbed views
   (ref: train_utils.py:279-306)."""
   total_distance_loss = 0.0
-  n_samples = config.sample_noise_size // config.patch_size ** 2
   n_angles = config.sample_noise_angles
+  # Effective count after the sampler's batch clamp (see
+  # noisy_consistency_loss).
+  n_samples = renderings_noise[-1]['distance'].shape[0] // n_angles
 
   for i, (rendering, rendering_noise) in enumerate(
       zip(renderings, renderings_noise)):

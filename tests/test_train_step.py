@@ -183,3 +183,30 @@ def test_grouped_param_stats_match_per_leaf():
     np.testing.assert_allclose(
         float(stats['weights_l2s'][name]), float(jnp.sum(leaf ** 2)),
         rtol=1e-6, err_msg=name)
+
+
+def test_consistency_losses_with_batch_smaller_than_noise_size():
+  """sample_noise_size > batch_size: the sampler clamps to the batch
+  (sampling.py:56) and the consistency losses must group by the EFFECTIVE
+  count, not the configured one (regression: reshape crash at tiny
+  batches)."""
+  extra = """
+Config.sample_noise_size = 64
+Config.sample_noise_angles = 2
+Config.consistency_diffuse_loss_type = 'var'
+Config.consistency_diffuse_loss_mult = 3e-5
+Config.consistency_specular_loss_type = 'var'
+Config.consistency_specular_loss_mult = 3e-5
+Config.consistency_normal_loss_target = 'normals'
+Config.consistency_normal_loss_mult = 3e-5
+Config.consistency_distance_loss_mult = 3e-6
+Config.acc_threshold_for_consistency_loss = 0.1
+"""
+  config, model, state, batch = _setup(extra)
+  assert config.sample_noise_size > config.batch_size
+  train_step = jax.jit(step_lib.make_train_step(model, config))
+  state, stats = train_step(state, batch)
+  for k in ['diffuse_consistency', 'specular_consistency',
+            'distance_consistency']:
+    assert k in stats['losses'], k
+  assert np.isfinite(float(stats['loss']))
