@@ -14,6 +14,8 @@ def test_lazy_exports():
   assert callable(refnerf_tpu.load_dataset)
   assert callable(refnerf_tpu.render_image)
   assert refnerf_tpu.MetricHarness is not None
+  assert callable(refnerf_tpu.export_serving)
+  assert callable(refnerf_tpu.load_serving)
 
 
 def test_setup_model_trains():
