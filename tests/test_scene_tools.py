@@ -71,3 +71,15 @@ def test_env_radiance_smooth_positive():
   eps_d = d + 1e-3 * rng.randn(*d.shape)
   eps_d /= np.linalg.norm(eps_d, axis=-1, keepdims=True)
   assert np.abs(make_shiny_scene.env_radiance(eps_d) - L).max() < 0.2
+
+
+def test_shell_launchers_parse():
+  """Every shipped launcher and tool script passes bash -n."""
+  import glob
+  import subprocess
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  scripts = sorted(glob.glob(os.path.join(repo, 'scripts', '*.sh')) +
+                   glob.glob(os.path.join(repo, 'tools', '*.sh')))
+  assert len(scripts) >= 12
+  for s in scripts:
+    subprocess.run(['bash', '-n', s], check=True)
