@@ -45,6 +45,38 @@ from refnerf_tpu.utils import profiling
 TIME_PRECISION = 1000  # integer milliseconds, for preemption-robust timing
 
 
+class _FramePipeline:
+  """Single-worker ordered pipeline for per-frame host post-processing.
+
+  The eval/render loops are device-bound on render_image but then spend
+  seconds per frame on host work (color_correct, metrics, PNG/TIFF saves).
+  Submitting that work here overlaps it with the next frame's device render;
+  one worker keeps execution in submission order (so metric lists, showcase
+  labels, and per-frame prints stay sequential), and a bounded number of
+  in-flight frames caps memory at ~2 frames of buffers.
+  """
+
+  def __init__(self, max_pending=2):
+    import concurrent.futures
+    self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    self._futures = []
+    self._max_pending = max_pending
+
+  def submit(self, fn, *args):
+    while sum(not f.done() for f in self._futures) >= self._max_pending:
+      next(f for f in self._futures if not f.done()).result()
+    self._futures.append(self._pool.submit(fn, *args))
+
+  def results(self):
+    """Wait for everything; return per-frame results in submission order.
+
+    Raises the first worker exception, like the serial loop would.
+    """
+    out = [f.result() for f in self._futures]
+    self._pool.shutdown()
+    return out
+
+
 def _flatten_stats(stats, prefix=''):
   out = {}
   for k, v in stats.items():
@@ -307,13 +339,10 @@ class NeRFSystem:
     showcase_indices = set(
         np.sort(perm[:config.num_showcase_images]).tolist())
 
-    for idx in range(num_eval):
-      batch = next(self.val_dataset)
-      eval_start = time.time()
-      rendering = renderer_lib.render_image(
-          render_fn, batch.rays, config, mesh=self._eval_mesh())
-      render_times.append(time.time() - eval_start)
-
+    def postprocess(idx, rendering, batch, render_time):
+      """Everything after the device render for one frame: color correction,
+      metrics, showcase collection, image dumps. Runs on the pipeline worker,
+      overlapped with the next frame's device render."""
       ray_bundle = {k: np.asarray(v) for k, v in rendering.items()
                     if k.startswith('ray_')}
       rendering = {k: np.asarray(v, np.float64)
@@ -326,6 +355,7 @@ class NeRFSystem:
         # by collection order (ref: nerf_system.py:400-403).
         label = idx if config.deterministic_showcase else len(showcases)
         showcases.append((label, {**rendering, **ray_bundle}, batch))
+      metric = metric_cc = None
       if not config.render_path:
         rgb = rendering['rgb']
         rgb_cc = rendering['rgb_cc']
@@ -360,10 +390,8 @@ class NeRFSystem:
                   jnp.asarray(weights), jnp.asarray(norm),
                   jnp.asarray(norm_gt)))
 
-        metrics.append(metric)
-        metrics_cc.append(metric_cc)
         print(f"eval {idx + 1}/{num_eval}: psnr={metric['psnr']:.3f} "
-              f'time={render_times[-1]:.2f}s')
+              f'time={render_time:.2f}s')
 
       if config.eval_save_output and config.eval_render_interval > 0:
         if idx % config.eval_render_interval == 0:
@@ -379,6 +407,21 @@ class NeRFSystem:
               io_lib.save_img_u8(rendering[key] / 2.0 + 0.5,
                                  path_fn(f'{key}_{idx:03d}.png'))
           io_lib.save_img_f32(rendering['acc'], path_fn(f'acc_{idx:03d}.tiff'))
+      return metric, metric_cc
+
+    pipeline = _FramePipeline()
+    for idx in range(num_eval):
+      batch = next(self.val_dataset)
+      eval_start = time.time()
+      rendering = renderer_lib.render_image(
+          render_fn, batch.rays, config, mesh=self._eval_mesh())
+      render_times.append(time.time() - eval_start)
+      pipeline.submit(postprocess, idx, rendering, batch, render_times[-1])
+
+    for metric, metric_cc in pipeline.results():
+      if metric is not None:
+        metrics.append(metric)
+        metrics_cc.append(metric_cc)
 
     if config.eval_save_output and not config.render_path and metrics:
       with open(path_fn('render_times.txt'), 'w') as f:
@@ -436,29 +479,13 @@ class NeRFSystem:
     render_fn = renderer_lib.make_render_fn(
         self.model, self.state.params, train_frac=1.0, compute_extras=True)
 
-    for idx in range(dataset.size):
-      if idx % config.render_num_jobs != config.render_job_id:
-        continue
-      idx_str = idx_to_str(idx)
-      curr_file = path_fn(f'color_{idx_str}.png')
-      next_idx_str = idx_to_str(idx + config.render_num_jobs)
-      next_file = path_fn(f'color_{next_idx_str}.png')
-      if os.path.exists(curr_file) and os.path.exists(next_file):
-        print(f'Image {idx}/{dataset.size} already exists, skipping')
-        continue
-      print(f'Evaluating image {idx + 1}/{dataset.size}')
-      eval_start = time.time()
-      batch = dataset.generate_ray_batch(idx)
-      rendering = renderer_lib.render_image(
-          render_fn, batch.rays, config, mesh=self._eval_mesh())
-      print(f'Rendered in {time.time() - eval_start:0.3f}s')
-
+    def save_frame(idx_str, rendering):
+      """Per-frame buffer dumps, overlapped with the next frame's render."""
       rendering = {k: np.asarray(v, np.float64)
                    for k, v in rendering.items()
                    if k in ['rgb', 'diffuse', 'specular', 'normals_pred',
                             'acc', 'distance_mean', 'distance_median',
                             'roughness']}
-
       io_lib.save_img_u8(rendering['rgb'], path_fn(f'color_{idx_str}.png'))
       io_lib.save_img_u8(rendering['diffuse'],
                          path_fn(f'diffuse_{idx_str}.png'))
@@ -477,6 +504,26 @@ class NeRFSystem:
                            path_fn(f'rho_{idx_str}.png'),
                            mask=rendering['acc'])
 
+    pipeline = _FramePipeline()
+    for idx in range(dataset.size):
+      if idx % config.render_num_jobs != config.render_job_id:
+        continue
+      idx_str = idx_to_str(idx)
+      curr_file = path_fn(f'color_{idx_str}.png')
+      next_idx_str = idx_to_str(idx + config.render_num_jobs)
+      next_file = path_fn(f'color_{next_idx_str}.png')
+      if os.path.exists(curr_file) and os.path.exists(next_file):
+        print(f'Image {idx}/{dataset.size} already exists, skipping')
+        continue
+      print(f'Evaluating image {idx + 1}/{dataset.size}')
+      eval_start = time.time()
+      batch = dataset.generate_ray_batch(idx)
+      rendering = renderer_lib.render_image(
+          render_fn, batch.rays, config, mesh=self._eval_mesh())
+      print(f'Rendered in {time.time() - eval_start:0.3f}s')
+      pipeline.submit(save_frame, idx_str, rendering)
+
+    pipeline.results()  # flush saves before counting files for the video
     num_files = len(glob.glob(path_fn('acc_*.tiff')))
     if num_files == dataset.size:
       print(f'All files found, creating videos '

@@ -117,3 +117,32 @@ def test_validation_returns_psnr(scene_dir, tmp_path_factory):
   system = NeRFSystem(config, gin)
   psnr = system.validate(step=1)
   assert np.isfinite(psnr) and psnr > 0
+
+
+def test_frame_pipeline_orders_and_raises():
+  """_FramePipeline: results keep submission order (metric lists must line
+  up with frame indices), backpressure caps in-flight frames, and a worker
+  exception surfaces like the serial loop's would."""
+  import time as time_lib
+
+  from refnerf_tpu.system import _FramePipeline
+
+  pipe = _FramePipeline(max_pending=2)
+  in_flight, max_seen = [0], [0]
+
+  def job(i):
+    in_flight[0] += 1
+    max_seen[0] = max(max_seen[0], in_flight[0])
+    time_lib.sleep(0.01 * (5 - i))  # early jobs are slower
+    in_flight[0] -= 1
+    return i
+
+  for i in range(5):
+    pipe.submit(job, i)
+  assert pipe.results() == [0, 1, 2, 3, 4]
+  assert max_seen[0] == 1  # single worker: strictly sequential
+
+  pipe = _FramePipeline()
+  pipe.submit(lambda: 1 / 0)
+  with pytest.raises(ZeroDivisionError):
+    pipe.results()
