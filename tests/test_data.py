@@ -210,3 +210,15 @@ def test_dtu_projection_decomposition():
   np.testing.assert_allclose(np.abs(np.diag(r2 @ q.T)), 1.0, atol=1e-4)
   c2 = (c2h[:3] / c2h[3])[:, 0]
   np.testing.assert_allclose(c2, c, rtol=1e-3, atol=1e-3)
+
+
+def test_parallel_map_orders_and_degrades():
+  """parallel_map preserves item order with >1 worker and equals the serial
+  loop's output; max_workers<=1 (the single-CPU degradation) matches too."""
+  from refnerf_tpu.data.datasets import parallel_map
+  items = list(range(23))
+  fn = lambda x: x * x
+  assert parallel_map(fn, items, max_workers=8) == [fn(x) for x in items]
+  assert parallel_map(fn, items, max_workers=1) == [fn(x) for x in items]
+  assert parallel_map(fn, iter(items), max_workers=4) == [
+      fn(x) for x in items]
