@@ -46,11 +46,42 @@ EXTRA_BINDINGS = [b.strip() for b in
                   os.environ.get('BENCH_BINDINGS', '').split(';') if b.strip()]
 
 
+def _device_watchdog(timeout_s, what):
+  """Fail fast with one parseable JSON line if the remote TPU never answers.
+
+  jax initialization against the tunneled platform blocks forever when the
+  pool is down (observed across two round-3 sessions); without this the
+  driver's end-of-round bench run would hang instead of recording a result.
+  """
+  import threading
+
+  def _fire():
+    print(json.dumps({
+        'metric': 'train_rays_per_sec',
+        'error': f'{what} exceeded {timeout_s}s',
+    }), flush=True)
+    os._exit(3)
+
+  timer = threading.Timer(timeout_s, _fire)
+  timer.daemon = True
+  timer.start()
+  return timer
+
+
 def main():
+  # Two honest failure modes instead of an indefinite hang: backend init
+  # never completing (pool down) and a degraded remote compile service
+  # (>15-min compiles were observed); both print an error JSON and exit.
+  _device_watchdog(int(os.environ.get('BENCH_TOTAL_TIMEOUT', 3600)),
+                   'bench run (compile service degraded?)')
+  init_wd = _device_watchdog(int(os.environ.get('BENCH_INIT_TIMEOUT', 900)),
+                             'device init (TPU pool unreachable)')
   import jax
   import jax.numpy as jnp
   os.makedirs('.jax_cache', exist_ok=True)
   jax.config.update('jax_compilation_cache_dir', '.jax_cache')
+  jnp.ones(()).block_until_ready()  # forces backend init under the watchdog
+  init_wd.cancel()
 
   from refnerf_tpu import configs as configs_lib
   from refnerf_tpu.cameras import rays as rays_lib

@@ -48,3 +48,19 @@ def test_bench_forward_json_contract():
   rec = _run({'BENCH_FWD': '1'})
   assert rec['metric'] == 'eval_rays_per_sec'
   assert rec['value'] > 0
+
+
+def test_bench_watchdog_emits_error_json():
+  """With a 0s init budget the watchdog must print one parseable error JSON
+  and exit nonzero instead of hanging - the driver-facing failure contract
+  when the TPU pool is unreachable at round end."""
+  env = {k: v for k, v in os.environ.items()
+         if k != 'PALLAS_AXON_POOL_IPS'}
+  env.update({'JAX_PLATFORMS': 'cpu', 'BENCH_INIT_TIMEOUT': '0'})
+  out = subprocess.run(
+      [sys.executable, os.path.join(_REPO, 'bench.py')],
+      capture_output=True, text=True, env=env, cwd=_REPO, timeout=120)
+  assert out.returncode == 3, (out.returncode, out.stderr[-500:])
+  lines = [l for l in out.stdout.splitlines() if l.strip()]
+  rec = json.loads(lines[0])
+  assert 'error' in rec and rec['metric'] == 'train_rays_per_sec'
