@@ -38,3 +38,21 @@ def test_pod_slice_compiles_with_bucketed_allreduce(n):
   # The gradient all-reduce exists and gradients are bucketed into a
   # handful of fused collectives, not one per parameter leaf.
   assert 1 <= r['all_reduce'] < r['param_leaves']
+
+
+def test_pod_slice_compiles_tensor_parallel():
+  """The 2D (data, model) TP program partitions at a pod slice and emits
+  real TP collectives (trunk activation all-gathers) alongside the
+  gradient all-reduce."""
+  env = dict(os.environ)
+  env.pop('XLA_FLAGS', None)
+  env.pop('JAX_PLATFORMS', None)
+  env.pop('PALLAS_AXON_POOL_IPS', None)
+  cmd = [sys.executable, os.path.join(_REPO, 'tools', 'pod_compile_check.py'),
+         '--devices', '16', '--model-parallel', '4']
+  out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=_REPO, timeout=1500)
+  assert out.returncode == 0, out.stderr[-2000:]
+  r = json.loads(out.stdout.strip().splitlines()[-1])
+  assert r['ok'] and r['model_parallel'] == 4
+  assert r['all_gather'] >= 1

@@ -27,6 +27,9 @@ def main():
   p.add_argument('--devices', type=int, required=True)
   p.add_argument('--geometry', action='store_true',
                  help='include the noisy-consistency geometry-loss stack')
+  p.add_argument('--model-parallel', type=int, default=1,
+                 help='shard trunk weights over a model axis this wide '
+                      '(2D (data, model) mesh, parallel/tp.py)')
   args = p.parse_args()
   n = args.devices
 
@@ -52,7 +55,11 @@ def main():
 
   devices = jax.devices()
   assert len(devices) >= n, (len(devices), n)
-  mesh = mesh_lib.create_mesh(devices[:n])
+  if args.model_parallel > 1:
+    from refnerf_tpu.parallel import tp as tp_lib
+    mesh = tp_lib.create_mesh_2d(args.model_parallel, devices[:n])
+  else:
+    mesh = mesh_lib.create_mesh(devices[:n])
 
   batch_size = 8 * n
   bindings = [ge._tiny_bindings(batch=batch_size, samples=8, width=16)]
@@ -61,8 +68,12 @@ def main():
   config, gin = configs_lib.parse(None, bindings)
   model = construct.construct_model(config, gin)
   params = construct.init_params(jax.random.PRNGKey(0), model)
-  state = mesh_lib.replicate(
-      step_lib.create_train_state(config, model, params), mesh)
+  if args.model_parallel > 1:
+    state = tp_lib.shard_state_tp(
+        step_lib.create_train_state(config, model, params), mesh)
+  else:
+    state = mesh_lib.replicate(
+        step_lib.create_train_state(config, model, params), mesh)
 
   rays = ge._example_rays(batch_size)
   rng = np.random.RandomState(1)
@@ -80,8 +91,13 @@ def main():
   n_params = len(jax.tree_util.tree_leaves(params))
 
   ok = n_ar >= 1 and n_ar < n_params
+  if args.model_parallel > 1:
+    # TP must actually communicate: the partitioner emits gather/reduce
+    # collectives for the sharded trunk activations.
+    ok = ok and (n_ag >= 1 or n_ar >= 2)
   print(json.dumps({
       'devices': n, 'ok': bool(ok), 'geometry': bool(args.geometry),
+      'model_parallel': args.model_parallel,
       'all_reduce': n_ar, 'all_gather': n_ag, 'param_leaves': n_params}))
   return 0 if ok else 1
 
