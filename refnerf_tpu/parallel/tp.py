@@ -15,6 +15,12 @@ reduce-scatters wherever the program needs them - the same annotations
 scale ICI-first on a real pod slice. The batch's ray axis continues to
 shard over 'data', so the gradient all-reduce and the TP collectives
 compose in one program.
+
+Use with `NerfMLP.fused_trunk = 'off'` (the default decides per platform):
+the fused Pallas kernels assume whole-trunk weights in VMEM, so GSPMD
+would re-gather sharded params around every custom call - correct but
+pointless. TP targets exactly the regime where a trunk outgrows that
+kernel anyway.
 """
 
 from __future__ import annotations
