@@ -198,3 +198,20 @@ def test_torch_checkpoint_cli_roundtrip(workdir):
       jax.tree.leaves(back.params)):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_extract_mesh_cli(workdir):
+  """extract_mesh.py produces a parseable PLY from a trained checkpoint
+  (iso low enough that an early-training density field still crosses)."""
+  root, gin_file = workdir
+  _ensure_trained(workdir)
+  out = str(root / 'mesh.ply')
+  result = _run('tools/extract_mesh.py', gin_file,
+                extra_args=['--resolution=17', '--iso=0.5', '--bound=1.0',
+                            f'--out={out}'])
+  assert result.returncode in (0, 1), result.stderr[-2000:]
+  if result.returncode == 0:
+    from refnerf_tpu import geometry
+    mesh = geometry.read_ply(out)
+    assert mesh['verts'].shape[1] == 3 and mesh['faces'].shape[1] == 3
+    assert len(mesh['faces']) > 0
