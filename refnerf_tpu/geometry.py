@@ -224,19 +224,74 @@ def density_grid(model, params, resolution, lower, upper, chunk=2 ** 16):
   return out.reshape(resolution, resolution, resolution)
 
 
+def vertex_colors(model, params, verts, footprint, chunk=2 ** 16):
+  """Per-vertex diffuse albedo from the spatial stage (view-independent).
+
+  Ref-NeRF's use_diffuse_color head is exactly the texture a mesh wants:
+  sigmoid(raw - log 3) (+ the model's sRGB mapping), no view direction
+  involved (mlp.py color combine). Returns [V, 3] float32 in [0, 1], or
+  None when the model has no diffuse head.
+  """
+  import flax.linen as nn
+  import jax
+  import jax.numpy as jnp
+
+  from refnerf_tpu.ops import image as image_ops
+
+  mlp = model.nerf_mlp
+  if not (mlp.use_diffuse_color and not mlp.disable_rgb):
+    return None
+  key = next(k for k in params if 'nerf' in k.lower())
+  sub = {'params': params[key]}
+  var = np.float32((float(footprint) / 2.0) ** 2)
+
+  def diffuse(module, means, covs):
+    _, x = module.predict_density(means, covs)
+    d = nn.sigmoid(module.raw_rgb_diffuse_layer(x) - jnp.log(3.0))
+    if module.srgb_mapping:
+      d = jnp.clip(image_ops.linear_to_srgb(d), 0.0, 1.0)
+    return d
+
+  @jax.jit
+  def run(pts):
+    means = pts[:, None, :]
+    covs = jnp.full(means.shape, var, means.dtype)
+    return mlp.apply(sub, means, covs, method=diffuse)[:, 0, :]
+
+  verts = np.asarray(verts, np.float32)
+  out = np.empty((verts.shape[0], 3), np.float32)
+  for i in range(0, verts.shape[0], chunk):
+    block = verts[i:i + chunk]
+    n = block.shape[0]
+    if n < chunk:
+      block = np.concatenate(
+          [block, np.zeros((chunk - n, 3), np.float32)], axis=0)
+    out[i:i + n] = np.asarray(run(jnp.asarray(block)))[:n]
+  return out
+
+
 def extract_mesh(model, params, resolution=128, lower=(-1.5, -1.5, -1.5),
-                 upper=(1.5, 1.5, 1.5), iso=50.0, chunk=2 ** 16):
-  """density_grid + marching_tetrahedra in world coordinates."""
+                 upper=(1.5, 1.5, 1.5), iso=50.0, chunk=2 ** 16,
+                 colors=True):
+  """density_grid + marching_tetrahedra (+ diffuse vertex colors) in world
+  coordinates."""
   grid = density_grid(model, params, resolution, lower, upper, chunk=chunk)
   lower = np.asarray(lower, np.float32)
   upper = np.asarray(upper, np.float32)
   spacing = (upper - lower) / (resolution - 1)
   verts, faces, normals = marching_tetrahedra(grid, iso, lower, spacing)
-  return {'verts': verts, 'faces': faces, 'normals': normals, 'grid': grid}
+  out = {'verts': verts, 'faces': faces, 'normals': normals, 'grid': grid,
+         'colors': None}
+  if colors and len(verts):
+    out['colors'] = vertex_colors(model, params, verts,
+                                  footprint=float(spacing.mean()),
+                                  chunk=chunk)
+  return out
 
 
-def write_ply(path, verts, faces, normals=None):
-  """Binary little-endian PLY with optional per-vertex normals."""
+def write_ply(path, verts, faces, normals=None, colors=None):
+  """Binary little-endian PLY with optional per-vertex normals/colors
+  (colors as uchar r/g/b, the convention DCC tools expect)."""
   verts = np.asarray(verts, '<f4')
   faces = np.asarray(faces, np.int32)
   props = ['property float x', 'property float y', 'property float z']
@@ -244,19 +299,26 @@ def write_ply(path, verts, faces, normals=None):
   if normals is not None:
     props += ['property float nx', 'property float ny', 'property float nz']
     cols.append(np.asarray(normals, '<f4'))
+  float_bytes = 4 * len(cols) * 3
+  vrow = np.concatenate(cols, axis=-1).astype('<f4').view(np.uint8).reshape(
+      len(verts), float_bytes)
+  if colors is not None:
+    props += ['property uchar red', 'property uchar green',
+              'property uchar blue']
+    rgb8 = np.clip(np.round(np.asarray(colors) * 255), 0, 255).astype(np.uint8)
+    vrow = np.concatenate([vrow, rgb8], axis=-1)
   header = '\n'.join(
       ['ply', 'format binary_little_endian 1.0',
        f'element vertex {len(verts)}'] + props +
       [f'element face {len(faces)}',
        'property list uchar int vertex_indices', 'end_header', ''])
-  vdata = np.concatenate(cols, axis=-1).astype('<f4')
   fdata = np.empty(len(faces),
                    dtype=[('n', 'u1'), ('idx', '<i4', (3,))])
   fdata['n'] = 3
   fdata['idx'] = faces
   with open(path, 'wb') as f:
     f.write(header.encode('ascii'))
-    f.write(vdata.tobytes())
+    f.write(vrow.tobytes())
     f.write(fdata.tobytes())
 
 
@@ -270,14 +332,20 @@ def read_ply(path):
                      if l.startswith('element vertex')))
   n_faces = int(next(l.split()[-1] for l in head
                      if l.startswith('element face')))
-  n_props = sum(1 for l in head
-                if l.startswith('property float'))
-  vbytes = n_verts * 4 * n_props
-  v = np.frombuffer(data[head_end:head_end + vbytes],
-                    '<f4').reshape(n_verts, n_props)
+  n_floats = sum(1 for l in head if l.startswith('property float'))
+  n_uchar = sum(1 for l in head if l.startswith('property uchar')
+                and 'list' not in l)
+  row_bytes = 4 * n_floats + n_uchar
+  vbytes = n_verts * row_bytes
+  rows = np.frombuffer(data[head_end:head_end + vbytes],
+                       np.uint8).reshape(n_verts, row_bytes)
+  v = rows[:, :4 * n_floats].copy().view('<f4')
   fdt = np.dtype([('n', 'u1'), ('idx', '<i4', (3,))])
   fc = np.frombuffer(data[head_end + vbytes:], fdt, count=n_faces)
   out = {'verts': v[:, :3], 'faces': fc['idx'].copy()}
-  if n_props >= 6:
+  if n_floats >= 6:
     out['normals'] = v[:, 3:6]
+  if n_uchar >= 3:
+    out['colors'] = rows[:, 4 * n_floats:4 * n_floats + 3].astype(
+        np.float32) / 255.0
   return out

@@ -96,3 +96,33 @@ def test_density_grid_through_model():
   # An untrained field is roughly constant; whatever the iso relation, the
   # extraction must return consistent arrays.
   assert out['verts'].shape[1] == 3 and out['faces'].shape[1] == 3
+
+
+def test_vertex_colors_and_colored_ply(tmp_path):
+  """Diffuse vertex colors query the spatial stage's diffuse head and
+  survive the uchar PLY round trip."""
+  import jax
+
+  from refnerf_tpu import configs as configs_lib
+  from refnerf_tpu.models import construct
+  import __graft_entry__ as ge
+
+  config, gin = configs_lib.parse(None, [ge._tiny_bindings()])
+  model = construct.construct_model(config, gin)
+  params = construct.init_params(jax.random.PRNGKey(0), model)
+
+  verts = np.random.RandomState(0).uniform(-1, 1, (37, 3)).astype(np.float32)
+  colors = geometry.vertex_colors(model, params, verts, footprint=0.1,
+                                  chunk=16)  # forces a padded tail
+  assert colors.shape == (37, 3)
+  assert (colors >= 0).all() and (colors <= 1).all()
+
+  grid, origin, spacing = _sphere_grid(n=16)
+  v, f, n = geometry.marching_tetrahedra(grid, 50.0, origin, spacing)
+  c = np.random.RandomState(1).uniform(0, 1, (len(v), 3))
+  path = str(tmp_path / 'colored.ply')
+  geometry.write_ply(path, v, f, n, colors=c)
+  back = geometry.read_ply(path)
+  np.testing.assert_allclose(back['verts'], v, rtol=1e-6)
+  np.testing.assert_allclose(back['normals'], n, rtol=1e-6)
+  np.testing.assert_allclose(back['colors'], c, atol=1 / 255)

@@ -58,11 +58,12 @@ def main(unused_argv):
                               lower=lower, upper=upper, iso=FLAGS.iso)
   verts, faces, normals = out['verts'], out['faces'], out['normals']
   print(f'{len(verts)} vertices, {len(faces)} faces '
-        f'(density range {out["grid"].min():.2f}..{out["grid"].max():.2f})')
+        f'(density range {out["grid"].min():.2f}..{out["grid"].max():.2f}'
+        f'{", diffuse vertex colors" if out["colors"] is not None else ""})')
 
   path = FLAGS.out or os.path.join(
       ckpt_lib.checkpoint_dir(config), f'mesh_step_{step}.ply')
-  geometry.write_ply(path, verts, faces, normals)
+  geometry.write_ply(path, verts, faces, normals, colors=out['colors'])
   print(f'Wrote {path}')
   return 0 if len(faces) else 1
 
