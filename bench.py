@@ -57,7 +57,7 @@ def _device_watchdog(timeout_s, what):
 
   def _fire():
     print(json.dumps({
-        'metric': 'train_rays_per_sec',
+        'metric': 'eval_rays_per_sec' if FWD_ONLY else 'train_rays_per_sec',
         'error': f'{what} exceeded {timeout_s}s',
     }), flush=True)
     os._exit(3)

@@ -141,10 +141,11 @@ def marching_tetrahedra(grid, iso, origin=(0., 0., 0.), spacing=1.0):
   verts = (origin + verts_lattice * spacing).astype(np.float32)
 
   faces = np.searchsorted(uniq_keys, tri_keys).astype(np.int32)
-  # Drop degenerate triangles (two corners on the same lattice edge).
-  ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
-        & (faces[:, 0] != faces[:, 2]))
-  faces = faces[ok]
+  # A triangle's three (inside, outside) corner pairs are distinct
+  # unordered lattice edges, so its three vertex indices are always
+  # distinct. Corners sitting exactly on the isovalue can still yield
+  # zero-AREA slivers (distinct edges crossing at a shared corner); they
+  # are topologically consistent and harmless, so they are kept.
 
   # Outward normals: -gradient (density decreases outward), trilinearly
   # interpolated at the vertices; then orient faces to match.
@@ -274,8 +275,11 @@ def extract_mesh(model, params, resolution=128, lower=(-1.5, -1.5, -1.5),
                  upper=(1.5, 1.5, 1.5), iso=50.0, chunk=2 ** 16,
                  colors=True):
   """density_grid + marching_tetrahedra (+ diffuse vertex colors) in world
-  coordinates."""
+  coordinates. iso=None auto-picks the grid midpoint (min+max)/2 - always
+  a crossing value unless the field is constant."""
   grid = density_grid(model, params, resolution, lower, upper, chunk=chunk)
+  if iso is None:
+    iso = float(grid.min() + grid.max()) / 2
   lower = np.asarray(lower, np.float32)
   upper = np.asarray(upper, np.float32)
   spacing = (upper - lower) / (resolution - 1)

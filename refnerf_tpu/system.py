@@ -60,11 +60,17 @@ class _FramePipeline:
     import concurrent.futures
     self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     self._futures = []
+    self._collected = 0  # futures [0, _collected) have been waited on
     self._max_pending = max_pending
 
   def submit(self, fn, *args):
-    while sum(not f.done() for f in self._futures) >= self._max_pending:
-      next(f for f in self._futures if not f.done()).result()
+    # Backpressure: wait on the OLDEST unwaited future (never a scan for a
+    # not-done one - the worker can finish everything between a pending
+    # count and a scan, which made an earlier version StopIteration
+    # mid-run). result() is idempotent and returns instantly once done.
+    while len(self._futures) - self._collected >= self._max_pending:
+      self._futures[self._collected].result()
+      self._collected += 1
     self._futures.append(self._pool.submit(fn, *args))
 
   def results(self):

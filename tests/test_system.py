@@ -146,3 +146,24 @@ def test_frame_pipeline_orders_and_raises():
   pipe.submit(lambda: 1 / 0)
   with pytest.raises(ZeroDivisionError):
     pipe.results()
+
+
+def test_frame_pipeline_submit_race_stress():
+  """Regression for a submit()-time race: with fast jobs and tiny thread
+  switch intervals, the old pending-count-then-scan backpressure could
+  StopIteration mid-run. The fixed version waits on the oldest unwaited
+  future unconditionally."""
+  import sys as sys_lib
+
+  from refnerf_tpu.system import _FramePipeline
+
+  old = sys_lib.getswitchinterval()
+  sys_lib.setswitchinterval(1e-6)
+  try:
+    for _ in range(50):
+      pipe = _FramePipeline(max_pending=2)
+      for i in range(20):
+        pipe.submit(lambda i=i: i)
+      assert pipe.results() == list(range(20))
+  finally:
+    sys_lib.setswitchinterval(old)

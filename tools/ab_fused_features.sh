@@ -6,6 +6,9 @@
 #
 #   tools/ab_fused_features.sh [extra bench env, e.g. BENCH_STEPS=50]
 set -u
+# Internal watchdog must beat the outer `timeout 1800` so failed runs
+# still leave a parseable error JSON in the log.
+export BENCH_TOTAL_TIMEOUT="${BENCH_TOTAL_TIMEOUT:-1500}"
 
 run() {
   local label="$1"; shift

@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 from refnerf_tpu import configs as configs_lib  # noqa: E402
 
 flags.DEFINE_integer('resolution', 256, 'grid resolution per axis')
-flags.DEFINE_float('iso', 50.0, 'density isovalue')
+flags.DEFINE_float('iso', 50.0, 'density isovalue; pass a negative value '
+                   'to auto-pick the grid midpoint (min+max)/2')
 flags.DEFINE_float('bound', 1.5, 'half-extent of the sampling cube')
 flags.DEFINE_list('lower', None, 'explicit lower corner x,y,z')
 flags.DEFINE_list('upper', None, 'explicit upper corner x,y,z')
@@ -45,6 +46,8 @@ def main(unused_argv):
   step = system.restore_latest()
   print(f'Extracting mesh from checkpoint at step {step}')
 
+  if bool(FLAGS.lower) != bool(FLAGS.upper):
+    raise app.UsageError('--lower and --upper must be given together')
   if FLAGS.lower and FLAGS.upper:
     lower = [float(v) for v in FLAGS.lower]
     upper = [float(v) for v in FLAGS.upper]
@@ -55,7 +58,8 @@ def main(unused_argv):
   params = system.state.params
   out = geometry.extract_mesh(system.model, params,
                               resolution=FLAGS.resolution,
-                              lower=lower, upper=upper, iso=FLAGS.iso)
+                              lower=lower, upper=upper,
+                              iso=None if FLAGS.iso < 0 else FLAGS.iso)
   verts, faces, normals = out['verts'], out['faces'], out['normals']
   print(f'{len(verts)} vertices, {len(faces)} faces '
         f'(density range {out["grid"].min():.2f}..{out["grid"].max():.2f}'

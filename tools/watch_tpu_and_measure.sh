@@ -14,6 +14,9 @@
 # flips after the A/B remain a human decision (TODO.md step 3).
 set -u
 cd "$(dirname "$0")/.."
+# bench.py's internal watchdog must fire BEFORE the outer `timeout 1800`
+# SIGTERMs it, so a degraded-compile run still leaves its error JSON.
+export BENCH_TOTAL_TIMEOUT="${BENCH_TOTAL_TIMEOUT:-1500}"
 
 for i in $(seq 1 90); do
   if timeout 300 python -c "import jax; d=jax.devices(); import jax.numpy as jnp; x=jnp.ones((256,256)); assert float((x@x)[0,0])==256.0; print('TPU UP:', d)" > /tmp/tpu_watch_try.log 2>&1; then
