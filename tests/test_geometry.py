@@ -126,3 +126,38 @@ def test_vertex_colors_and_colored_ply(tmp_path):
   np.testing.assert_allclose(back['verts'], v, rtol=1e-6)
   np.testing.assert_allclose(back['normals'], n, rtol=1e-6)
   np.testing.assert_allclose(back['colors'], c, atol=1 / 255)
+
+
+def test_random_fields_manifold_property():
+  """On arbitrary smooth fields the extracted surface is a closed 2-manifold
+  clipped by the grid box: every undirected edge borders exactly 2 faces,
+  except edges whose both endpoints lie on the outermost cell layer (the
+  clip boundary), which may border 1."""
+  rng = np.random.RandomState(7)
+  for trial in range(3):
+    raw = rng.randn(6, 6, 6)
+    # Smooth by separable box blur to get coherent crossings.
+    k = np.ones(3) / 3
+    grid = raw
+    for ax in range(3):
+      grid = np.apply_along_axis(
+          lambda m: np.convolve(m, k, mode='same'), ax, grid)
+    # Upsample by trilinear interpolation to a finer lattice.
+    fine = 25
+    pts = np.stack(np.meshgrid(*[np.linspace(0, 5, fine)] * 3,
+                               indexing='ij'), axis=-1).reshape(-1, 3)
+    grid_f = geometry._trilinear(grid[..., None], pts)[:, 0].reshape(
+        fine, fine, fine)
+
+    verts, faces, normals = geometry.marching_tetrahedra(grid_f, 0.0)
+    if len(faces) == 0:
+      continue
+    edges = np.concatenate(
+        [faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
+    edges = np.sort(edges, axis=-1)
+    uniq, counts = np.unique(edges, axis=0, return_counts=True)
+    assert counts.max() <= 2, 'non-manifold edge'
+    boundary = ((verts < 1.0) | (verts > fine - 2.0)).any(-1)
+    dangling = counts == 1
+    assert (boundary[uniq[dangling, 0]] & boundary[uniq[dangling, 1]]).all()
+    assert np.isfinite(verts).all() and np.isfinite(normals).all()
