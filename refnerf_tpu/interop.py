@@ -109,6 +109,24 @@ _TORCH_NAMES = {
     'rgb': 'rgb',
 }
 
+# Heads fed by the spatial trunk's output. When the trunk ends in a skip
+# concat ((net_depth - 1) % skip_layer == 0, e.g. depth 5 or 9 with skip 4),
+# these heads consume [x, encoding] and their kernels' encoding rows need
+# the same signed basis permutation as spatial_0. 'rgb' is excluded: it
+# reads the directional trunk. NOTE the asymmetry: the torch reference
+# CANNOT build this architecture (its heads are fixed
+# nn.Linear(net_width, ...), reference models.py:501-523, so a trailing
+# concat crashes its first forward) - no imported checkpoint can hit this
+# path. The remap exists so OUR trailing-skip models round-trip through
+# the reference state_dict LAYOUT as an exact bijection.
+_SPATIAL_HEADS = frozenset({
+    'raw_density', 'raw_specular_density', 'grad_pred', 'raw_roughness',
+    'raw_rgb_diffuse', 'raw_tint', 'bottleneck'})
+
+
+def _trailing_skip(mlp) -> bool:
+  return mlp.net_depth > 1 and (mlp.net_depth - 1) % mlp.skip_layer == 0
+
 
 def _torch_layer_name(flax_name: str) -> str:
   if flax_name.startswith('spatial_'):
@@ -168,9 +186,10 @@ def convert_mlp(state_dict: Mapping[str, Any], prefix: str,
             f'{prefix}{tname}: input dim {kernel.shape[0]} != encoding '
             f'{n_enc} (min/max_deg_point or basis mismatch)')
       kernel = kernel[rows] * row_signs[:, None]
-    elif (name.startswith('spatial_') and
-          int(name.split('_')[-1]) > 1 and
-          (int(name.split('_')[-1]) - 1) % mlp.skip_layer == 0):
+    elif ((name.startswith('spatial_') and
+           int(name.split('_')[-1]) > 1 and
+           (int(name.split('_')[-1]) - 1) % mlp.skip_layer == 0)
+          or (name in _SPATIAL_HEADS and _trailing_skip(mlp))):
       nw = mlp.net_width
       enc = kernel[nw:]
       if enc.shape[0] != n_enc:
@@ -211,9 +230,10 @@ def _mlp_to_state_dict(sub: Mapping[str, Any], prefix: str, mlp,
     kernel = np.asarray(leaf['kernel'], dtype=np.float32)
     if name == 'spatial_0':
       kernel = kernel[inv_rows] * inv_signs[:, None]
-    elif (name.startswith('spatial_') and
-          int(name.split('_')[-1]) > 1 and
-          (int(name.split('_')[-1]) - 1) % mlp.skip_layer == 0):
+    elif ((name.startswith('spatial_') and
+           int(name.split('_')[-1]) > 1 and
+           (int(name.split('_')[-1]) - 1) % mlp.skip_layer == 0)
+          or (name in _SPATIAL_HEADS and _trailing_skip(mlp))):
       nw = mlp.net_width
       kernel = np.concatenate(
           [kernel[:nw], kernel[nw:][inv_rows] * inv_signs[:, None]], axis=0)

@@ -83,23 +83,29 @@ def _ray_specs(chunk: int) -> rays_lib.Rays:
 
 def export_serving(model, params, path: str, chunk: int = 8192,
                    platforms: Sequence[str] = ('cpu', 'tpu'),
-                   compute_extras: bool = False) -> Dict[str, Any]:
+                   compute_extras: bool = False,
+                   near: float = None, far: float = None) -> Dict[str, Any]:
   """Export the render program with weights embedded; returns the metadata.
 
   Args:
     model: constructed (unbound) Model whose MLPs force `fused_trunk='off'`
-      (construct_serving_model does this from a Config/gin pair).
+      (tools/export_serving.py does this by parsing the extra gin line
+      "NerfMLP.fused_trunk = 'off'" before construct_model).
     params: trained parameter pytree (device or host arrays).
     path: output file.
     chunk: rays per call - the static chunk size of the program.
     platforms: lowering platforms baked into the artifact.
     compute_extras: include the full extras buffers (distance stats,
       normals, diffuse/specular) instead of just rgb/distance/acc.
+    near/far: the scene's ray bounds (Config.near/far), recorded in the
+      metadata so serving hosts can default them per artifact.
   """
   fn = serving_render_fn(model, params, compute_extras=compute_extras)
   exported = jax_export.export(
       jax.jit(fn), platforms=list(platforms))(_ray_specs(chunk))
-  out_info = jax.eval_shape(fn, rays_lib.dummy_rays(chunk))
+  # Buffer names/shapes come from the export itself - no second trace.
+  out_info = jax.tree_util.tree_unflatten(
+      exported.out_tree, list(exported.out_avals))
   meta = {
       'chunk': chunk,
       'platforms': list(platforms),
@@ -107,6 +113,10 @@ def export_serving(model, params, path: str, chunk: int = 8192,
       'buffers': {k: [list(v.shape), str(v.dtype)]
                   for k, v in sorted(out_info.items())},
   }
+  if near is not None:
+    meta['near'] = float(near)
+  if far is not None:
+    meta['far'] = float(far)
   blob = exported.serialize()
   header = json.dumps(meta).encode('utf-8')
   with open(path, 'wb') as f:
@@ -153,13 +163,29 @@ class ServingModel:
 
 
 def load_serving(path: str) -> ServingModel:
-  """Load a .rnsrv artifact written by export_serving."""
+  """Load a .rnsrv artifact written by export_serving.
+
+  Raises ValueError for anything malformed (bad magic, truncation,
+  corrupt metadata) - one error contract for all broken artifacts.
+  """
   with open(path, 'rb') as f:
     magic = f.read(len(_MAGIC))
     if magic != _MAGIC:
       raise ValueError(f'{path} is not a refnerf_tpu serving artifact '
                        f'(bad magic {magic!r})')
-    (hlen,) = struct.unpack('<I', f.read(4))
-    meta = json.loads(f.read(hlen).decode('utf-8'))
+    raw_len = f.read(4)
+    if len(raw_len) != 4:
+      raise ValueError(f'{path} is truncated (no metadata length)')
+    (hlen,) = struct.unpack('<I', raw_len)
+    header = f.read(hlen)
+    if len(header) != hlen:
+      raise ValueError(
+          f'{path} is truncated (metadata: {len(header)}/{hlen} bytes)')
+    try:
+      meta = json.loads(header.decode('utf-8'))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+      raise ValueError(f'{path} has corrupt metadata: {e}') from e
     blob = f.read()
+  if not blob:
+    raise ValueError(f'{path} is truncated (no program payload)')
   return ServingModel(jax_export.deserialize(blob), meta)

@@ -116,3 +116,29 @@ def test_extras_export_carries_buffers(tmp_path):
   served = serving.load_serving(path)
   got = served(_rays(CHUNK))
   assert set(got) == set(meta['buffers'])
+
+
+def test_metadata_near_far_and_truncation_errors(tmp_path):
+  """near/far land in the artifact metadata (serving hosts default ray
+  bounds from them), and every malformed-artifact failure is a ValueError."""
+  model, params = _model_and_params()
+  path = str(tmp_path / 'scene.rnsrv')
+  meta = serving.export_serving(model, params, path, chunk=CHUNK,
+                                platforms=('cpu',), near=2.0, far=6.0)
+  assert meta['near'] == 2.0 and meta['far'] == 6.0
+  assert serving.load_serving(path).meta['far'] == 6.0
+
+  data = open(path, 'rb').read()
+  hlen = int.from_bytes(data[8:12], 'little')
+  cases = {
+      'no metadata length': data[:10],
+      'metadata:': data[:12 + hlen // 2],
+      'corrupt metadata': data[:8] + data[8:12] + b'x' * hlen + data[
+          12 + hlen:],
+      'no program payload': data[:12 + hlen],
+  }
+  for msg, blob in cases.items():
+    p = tmp_path / 'bad.rnsrv'
+    p.write_bytes(blob)
+    with pytest.raises(ValueError, match=msg.split(':')[0]):
+      serving.load_serving(str(p))

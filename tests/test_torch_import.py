@@ -42,10 +42,10 @@ def test_known_basis_maps_current():
     assert got_signs == signs, (shape, sub)
 
 
-def _build_uncopied_pair(basis_shape, basis_subdivisions):
+def _build_uncopied_pair(basis_shape, basis_subdivisions, **mlp_overrides):
   """(torch model w/ its own weights+basis, flax model, flax template)."""
   mlp_kw = dict(tpm.MLP_KW, basis_shape=basis_shape,
-                basis_subdivisions=basis_subdivisions)
+                basis_subdivisions=basis_subdivisions, **mlp_overrides)
   sc = dict(tpm.SCENARIOS['refnerf'])
   sc.pop('srgb_mapping_when_rendering')
   sc.pop('srgb_mapping_type')
@@ -183,3 +183,65 @@ def test_architecture_mismatch_is_loud():
       train_frac=1.0, compute_extras=False, train=False)['params']
   with pytest.raises(ValueError, match='encoding|mismatch'):
     interop.torch_state_dict_to_params(sd, wrong_template, wrong)
+
+
+def test_trailing_skip_layout_roundtrip():
+  """When the spatial trunk ends in a skip concat ((net_depth-1) %
+  skip_layer == 0) the heads consume [x, encoding]. The torch reference
+  cannot BUILD that architecture (its heads are fixed
+  nn.Linear(net_width, ...), reference models.py:501-523, so the trailing
+  concat crashes its first forward) - but our params must still round-trip
+  through the reference state_dict LAYOUT as an exact bijection, which
+  requires the signed basis remap on the heads' encoding rows in both
+  directions."""
+  mlp_kw = dict(tpm.MLP_KW, basis_shape='icosahedron',
+                basis_subdivisions=2, net_depth=5, skip_layer=4)
+  sc = dict(tpm.SCENARIOS['refnerf'])
+  sc.pop('srgb_mapping_when_rendering')
+  sc.pop('srgb_mapping_type')
+  fm = Model(nerf_mlp=MLP(name='NerfMLP', **mlp_kw), prop_mlp=None,
+             bg_intensity_range=(1.0, 1.0), vis_num_rays=4, **sc)
+  arrays = tpm.make_ray_arrays(tpm.N_RAYS)
+  template = fm.init({'params': jax.random.PRNGKey(7)},
+                     tpm.jax_rays(arrays), train_frac=1.0,
+                     compute_extras=False, train=False)['params']
+  assert interop._trailing_skip(fm.nerf_mlp)
+  nw = fm.nerf_mlp.net_width
+  assert template['nerf_mlp']['raw_density']['kernel'].shape[0] > nw
+
+  # Exact bijection through the reference layout.
+  sd = interop.params_to_torch_state_dict(template, fm)
+  back = interop.torch_state_dict_to_params(sd, template, fm)
+  for (path, a), b in zip(
+      jax.tree_util.tree_leaves_with_path(dict(template)),
+      jax.tree.leaves(back)):
+    np.testing.assert_array_equal(np.asarray(a), b,
+                                  err_msg=jax.tree_util.keystr(path))
+
+  # Load-bearing: skipping the head remap on ONE side breaks the round
+  # trip (the icosahedron-2 basis has signed permutation rows).
+  saved = interop._SPATIAL_HEADS
+  interop._SPATIAL_HEADS = frozenset()
+  try:
+    naive = interop.torch_state_dict_to_params(sd, template, fm)
+  finally:
+    interop._SPATIAL_HEADS = saved
+  k_good = np.asarray(template['nerf_mlp']['raw_density']['kernel'])
+  k_naive = np.asarray(naive['nerf_mlp']['raw_density']['kernel'])
+  assert np.abs(k_good - k_naive).max() > 1e-6
+
+  # The torch reference really cannot build this architecture - pin the
+  # asymmetry this test documents.
+  REF = tpm.REF
+  savedref = (REF.models.NerfMLP, REF.models.PropMLP)
+  try:
+    REF.models.NerfMLP = lambda: REF.models.MLP(**mlp_kw)
+    REF.models.PropMLP = REF.models.NerfMLP
+    tm = REF.models.Model(config=tpm._ref_model_config(), single_mlp=True,
+                          bg_intensity_range=(1.0, 1.0), **sc)
+    tm.eval()
+    with pytest.raises(RuntimeError, match='cannot be multiplied'):
+      with torch.no_grad():
+        tm(tpm.torch_rays(arrays), train_frac=1.0, compute_extras=False)
+  finally:
+    REF.models.NerfMLP, REF.models.PropMLP = savedref

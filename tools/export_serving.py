@@ -58,7 +58,8 @@ def main(unused_argv):
       model, state.params, flags.FLAGS.out, chunk=flags.FLAGS.chunk,
       platforms=tuple(p.strip()
                       for p in flags.FLAGS.platforms.split(',') if p.strip()),
-      compute_extras=flags.FLAGS.extras)
+      compute_extras=flags.FLAGS.extras,
+      near=config.near, far=config.far)
   print(f'Wrote {flags.FLAGS.out}: {meta}')
 
 

@@ -37,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 _DEFAULT_BUFFERS = ('rgb', 'acc', 'distance_mean')
+_WARNED_BOUNDS = []
 
 
 def _render(served, req):
@@ -63,6 +64,12 @@ def _render(served, req):
     viewdirs = directions / np.maximum(
         np.linalg.norm(directions, axis=-1, keepdims=True), 1e-12)
 
+  if ('near' not in served.meta and 'near' not in req
+      and not _WARNED_BOUNDS):
+    _WARNED_BOUNDS.append(True)
+    print('WARNING: neither the artifact metadata (pre-near/far exports) '
+          'nor the request specifies near/far; defaulting to [0.1, 100] - '
+          'pass them explicitly for correct sampling bounds')
   meta_near = float(served.meta.get('near', 0.1))
   meta_far = float(served.meta.get('far', 100.0))
   rays = rays_lib.dummy_rays(n).replace(
