@@ -198,6 +198,20 @@ class NeRFSystem:
       max_steps = min(max_steps, config.early_exit_steps)
 
     tracer = profiling.StepTracer()
+    try:
+      self._train_loop(batches, train_step, cameras, stats_buffer,
+                       first_step, max_steps, num_params, train_start_time,
+                       ckpt_mgr, tracer)
+    finally:
+      batches.close()  # stop the sampler thread (long-lived processes)
+    tracer.close()
+    ckpt_mgr.wait()
+    ckpt_mgr.close()
+
+  def _train_loop(self, batches, train_step, cameras, stats_buffer,
+                  first_step, max_steps, num_params, train_start_time,
+                  ckpt_mgr, tracer):
+    config = self.config
     for step in range(first_step, max_steps):
       tracer.step(step)
       batch = next(batches)
@@ -232,10 +246,6 @@ class NeRFSystem:
         val_psnr = self.validate(step + 1)
         ckpt_mgr.save(step + 1, jax.device_get(self.state), val_psnr=val_psnr)
         train_start_time = time.time()
-
-    tracer.close()
-    ckpt_mgr.wait()
-    ckpt_mgr.close()
 
   def _write_train_summaries(self, step, stats_buffer, steps_per_sec,
                              rays_per_sec, num_params, approx_total_time):

@@ -48,8 +48,14 @@ class CheckpointManager:
 
   def save(self, step: int, state, val_psnr: Optional[float] = None):
     self._last.save(step, args=ocp.args.StandardSave(state))
-    metrics = {'val_psnr': float(val_psnr)} if val_psnr is not None else None
-    self._best.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+    if val_psnr is None:
+      # "Best" is defined by the metric: a score-less save goes to last/
+      # only. (Handing orbax a metrics-less checkpoint with
+      # keep_checkpoints_without_metrics=True would retain it FOREVER,
+      # bypassing save_top_k and duplicating last/ on disk every save.)
+      return
+    self._best.save(step, args=ocp.args.StandardSave(state),
+                    metrics={'val_psnr': float(val_psnr)})
 
   def wait(self):
     self._last.wait_until_finished()

@@ -47,6 +47,29 @@ class ParseError(ValueError):
   pass
 
 
+def _split_top_level(text: str) -> List[str]:
+  """Split on commas at bracket depth 0, respecting string literals."""
+  parts, depth, start = [], 0, 0
+  in_str: Optional[str] = None
+  for i, c in enumerate(text):
+    if in_str:
+      if c == in_str and text[i - 1] != '\\':
+        in_str = None
+    elif c in ('"', "'"):
+      in_str = c
+    elif c in '([{':
+      depth += 1
+    elif c in ')]}':
+      depth -= 1
+    elif c == ',' and depth == 0:
+      parts.append(text[start:i])
+      start = i + 1
+  tail = text[start:].strip()
+  if tail:
+    parts.append(tail)
+  return parts
+
+
 def _parse_value(text: str):
   text = text.strip()
   if text.startswith('@'):
@@ -55,8 +78,30 @@ def _parse_value(text: str):
     return Macro(text[1:].strip())
   try:
     return ast.literal_eval(text)
-  except (ValueError, SyntaxError) as e:
-    raise ParseError(f'Cannot parse gin value: {text!r}') from e
+  except (ValueError, SyntaxError):
+    pass
+  # Containers holding @refs / %macros (e.g. "[@a, @b]") are valid gin but
+  # not python literals; parse element-wise.
+  closer = {'[': ']', '(': ')'}.get(text[:1])
+  if closer and text.endswith(closer):
+    items = [_parse_value(p) for p in _split_top_level(text[1:-1])]
+    return items if text[0] == '[' else tuple(items)
+  raise ParseError(f'Cannot parse gin value: {text!r}')
+
+
+def _gin_repr(v) -> str:
+  """A gin-language representation that ginlite itself can re-parse."""
+  if isinstance(v, (Ref, Macro)):
+    return str(v)
+  if isinstance(v, list):
+    return '[' + ', '.join(_gin_repr(x) for x in v) + ']'
+  if isinstance(v, tuple):
+    inner = ', '.join(_gin_repr(x) for x in v)
+    return '(' + inner + (',' if len(v) == 1 else '') + ')'
+  if isinstance(v, dict):
+    return ('{' + ', '.join(f'{k!r}: {_gin_repr(x)}' for k, x in v.items())
+            + '}')
+  return repr(v)
 
 
 def _strip_comment(line: str) -> str:
@@ -137,12 +182,18 @@ class GinConfig:
     raise FileNotFoundError(f'gin file not found: {path}')
 
   def parse_line(self, line: str):
-    if line.startswith('include'):
+    # Keyword statements match on the first whole word: a binding like
+    # 'important_flag = True' must NOT be treated as an import.
+    head = line.split(None, 1)[0] if line.split() else ''
+    if head == 'include':
       rest = line[len('include'):].strip()
-      target = ast.literal_eval(rest)
-      self.parse_file(self._resolve_path(target))
+      try:
+        target = ast.literal_eval(rest)
+      except (ValueError, SyntaxError) as e:
+        raise ParseError(f'Malformed include: {line!r}') from e
+      self.parse_file(target)
       return
-    if line.startswith('import'):
+    if head in ('import', 'from'):
       return  # module imports are meaningless here; targets resolve by name
     if '=' not in line:
       raise ParseError(f'Malformed gin line: {line!r}')
@@ -166,8 +217,16 @@ class GinConfig:
       self.parse_line(line)
 
   def parse_file(self, path: str):
-    with open(self._resolve_path(path)) as f:
-      self.parse_string(f.read())
+    resolved = self._resolve_path(path)
+    # Like gin: includes inside this file resolve relative to it first,
+    # so shipped config chains load from any working directory.
+    own_dir = os.path.dirname(os.path.abspath(resolved))
+    self._search_paths.insert(0, own_dir)
+    try:
+      with open(resolved) as f:
+        self.parse_string(f.read())
+    finally:
+      self._search_paths.remove(own_dir)
 
   def resolve(self, value):
     """Substitute macros recursively; Refs are returned as-is."""
@@ -191,12 +250,11 @@ class GinConfig:
     configs.py:186-193)."""
     lines = []
     for name in sorted(self.macros):
-      lines.append(f'{name} = {self.macros[name]!r}')
+      lines.append(f'{name} = {_gin_repr(self.macros[name])}')
     for target in sorted(self.bindings):
       for param in sorted(self.bindings[target]):
         v = self.bindings[target][param]
-        rep = repr(v) if not isinstance(v, (Ref, Macro)) else str(v)
-        lines.append(f'{target}.{param} = {rep}')
+        lines.append(f'{target}.{param} = {_gin_repr(v)}')
     return '\n'.join(lines) + '\n'
 
 

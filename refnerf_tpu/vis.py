@@ -244,18 +244,30 @@ def visualize_suite(rendering, rays, linear_to_srgb=False):
   return panels
 
 
-def _write_video(path: str, frames: List[np.ndarray], fps: int, crf: int):
-  """h264 via the ffmpeg binary if present, else animated GIF fallback."""
-  if shutil.which('ffmpeg'):
+def _write_video(path: str, frames, fps: int, crf: int):
+  """h264 via the ffmpeg binary if present, else animated GIF fallback.
+
+  `frames` may be any iterable of uint8 [H, W, 3] arrays; frames stream to
+  the encoder one at a time, so a 480-frame 1080p render never sits in
+  memory at once.
+  """
+  import itertools
+
+  frames = iter(frames)
+  first = next(frames)
+  h, w = first.shape[:2]
+  if h % 2 or w % 2:
     # libx264 + yuv420p requires even dimensions; edge-replicate odd frames.
-    h, w = frames[0].shape[:2]
-    if h % 2 or w % 2:
-      frames = [np.pad(f, ((0, h % 2), (0, w % 2), (0, 0)), mode='edge')
-                for f in frames]
-      h, w = frames[0].shape[:2]
+    pad = lambda f: np.pad(f, ((0, h % 2), (0, w % 2), (0, 0)), mode='edge')
+  else:
+    pad = lambda f: f
+  stream = map(pad, itertools.chain([first], frames))
+  ph, pw = pad(first).shape[:2]
+
+  if shutil.which('ffmpeg'):
     cmd = [
         'ffmpeg', '-y', '-f', 'rawvideo', '-vcodec', 'rawvideo',
-        '-s', f'{w}x{h}', '-pix_fmt', 'rgb24', '-r', str(fps), '-i', '-',
+        '-s', f'{pw}x{ph}', '-pix_fmt', 'rgb24', '-r', str(fps), '-i', '-',
         '-an', '-vcodec', 'libx264', '-crf', str(crf),
         '-pix_fmt', 'yuv420p', path]
     # stderr goes to a spool file (a pipe could fill and deadlock the
@@ -263,9 +275,15 @@ def _write_video(path: str, frames: List[np.ndarray], fps: int, crf: int):
     with tempfile.TemporaryFile() as errf:
       proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
                               stdout=subprocess.DEVNULL, stderr=errf)
-      for f in frames:
-        proc.stdin.write(np.ascontiguousarray(f).tobytes())
-      proc.stdin.close()
+      try:
+        for f in stream:
+          proc.stdin.write(np.ascontiguousarray(f).tobytes())
+        proc.stdin.close()
+      except BrokenPipeError:
+        # ffmpeg died early (bad path, missing codec): fall through so the
+        # wait() branch reports its actual stderr instead of this pipe
+        # error masking it.
+        pass
       if proc.wait() != 0:
         errf.seek(0)
         stderr = errf.read()
@@ -275,9 +293,10 @@ def _write_video(path: str, frames: List[np.ndarray], fps: int, crf: int):
   else:
     from PIL import Image
     gif_path = os.path.splitext(path)[0] + '.gif'
-    imgs = [Image.fromarray(f) for f in frames]
-    imgs[0].save(gif_path, save_all=True, append_images=imgs[1:],
-                 duration=max(1, int(1000 / fps)), loop=0)
+    img0 = Image.fromarray(next(stream))
+    img0.save(gif_path, save_all=True,
+              append_images=(Image.fromarray(f) for f in stream),
+              duration=max(1, int(1000 / fps)), loop=0)
 
 
 def create_videos(config, base_dir, out_dir, out_name, num_frames):
@@ -312,21 +331,24 @@ def create_videos(config, base_dir, out_dir, out_name, num_frames):
       print(f'Images missing for tag {k}')
       continue
     print(f'Making video {video_file}...')
-    frames = []
-    for idx in range(num_frames):
-      img_file = os.path.join(out_dir, f'{k}_{idx_to_str(idx)}.{file_ext}')
-      if not os.path.exists(img_file):
-        raise ValueError(f'Image file {img_file} does not exist.')
-      img = io_lib.load_img(img_file)
-      if k in ['color', 'diffuse', 'specular', 'normals_pred']:
-        img = img / 255.0
-      elif k.startswith('distance'):
-        img = config.render_dist_curve_fn(img)
-        img = np.clip((img - np.minimum(lo, hi)) / np.abs(hi - lo), 0, 1)
-        img = mpl_colormaps['turbo'](img)[..., :3]
-      elif k == 'acc':
-        img = np.stack([img] * 3, axis=-1)
-      frames.append(
-          (np.clip(np.nan_to_num(img), 0.0, 1.0) * 255.0).astype(np.uint8))
-    _write_video(video_file, frames, config.render_video_fps,
+
+    def frames(k=k, file_ext=file_ext):
+      # Generator: one frame in memory at a time (the encoder streams).
+      for idx in range(num_frames):
+        img_file = os.path.join(out_dir, f'{k}_{idx_to_str(idx)}.{file_ext}')
+        if not os.path.exists(img_file):
+          raise ValueError(f'Image file {img_file} does not exist.')
+        img = io_lib.load_img(img_file)
+        if k in ['color', 'diffuse', 'specular', 'normals_pred']:
+          img = img / 255.0
+        elif k.startswith('distance'):
+          img = config.render_dist_curve_fn(img)
+          img = np.clip((img - np.minimum(lo, hi)) / np.abs(hi - lo), 0, 1)
+          img = mpl_colormaps['turbo'](img)[..., :3]
+        elif k == 'acc':
+          img = np.stack([img] * 3, axis=-1)
+        yield (np.clip(np.nan_to_num(img), 0.0, 1.0) * 255.0).astype(
+            np.uint8)
+
+    _write_video(video_file, frames(), config.render_video_fps,
                  config.render_video_crf)

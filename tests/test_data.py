@@ -222,3 +222,47 @@ def test_parallel_map_orders_and_degrades():
   assert parallel_map(fn, items, max_workers=1) == [fn(x) for x in items]
   assert parallel_map(fn, iter(items), max_workers=4) == [
       fn(x) for x in items]
+
+
+def test_threaded_sampler_relays_errors_and_exhaustion():
+  """A producer exception must re-raise in the consumer (not deadlock it),
+  and a finite source must end with StopIteration after draining."""
+  import time as time_lib
+
+  from refnerf_tpu.data import prefetch as prefetch_lib
+
+  class Boom:
+    def __init__(self):
+      self.n = 0
+    def __next__(self):
+      self.n += 1
+      if self.n > 2:
+        raise RuntimeError('sampler exploded')
+      return self.n
+
+  s = prefetch_lib.ThreadedSampler(Boom(), capacity=1)
+  got = [next(s), next(s)]
+  assert got == [1, 2]
+  with pytest.raises(RuntimeError, match='sampler exploded'):
+    next(s)
+
+  s2 = prefetch_lib.ThreadedSampler(iter([10, 20]), capacity=4)
+  assert list(s2) == [10, 20]
+
+  # Closing the training_batches generator stops the sampler thread.
+  class Endless:
+    def __init__(self):
+      self.alive = True
+    def __next__(self):
+      return np.zeros((2, 3), np.float32)
+
+  import threading as threading_lib
+  before = threading_lib.active_count()
+  batches = prefetch_lib.training_batches(Endless(), threaded=True)
+  next(batches)
+  batches.close()
+  for _ in range(50):  # thread exits within ~its 0.1s put timeout
+    if threading_lib.active_count() <= before:
+      break
+    time_lib.sleep(0.05)
+  assert threading_lib.active_count() <= before

@@ -130,3 +130,45 @@ def test_missing_gin_file_is_loud():
   from refnerf_tpu import configs as configs_lib
   with pytest.raises(FileNotFoundError, match='nonexistent'):
     configs_lib.parse(['/nonexistent/x.gin'], [])
+
+
+def test_keyword_prefix_names_are_bindings():
+  """Names beginning with 'import'/'include' are bindings/macros, not
+  statements (word-boundary matching)."""
+  cfg = ginlite.GinConfig()
+  cfg.parse_string('important_flag = True\n'
+                   'included_paths.x = 1\n'
+                   'from x import y\n')
+  assert cfg.macros['important_flag'] is True
+  assert cfg.bindings['included_paths']['x'] == 1
+
+
+def test_include_resolves_relative_to_including_file(tmp_path):
+  """Shipped config chains load from any cwd: includes resolve against
+  the including file's own directory first."""
+  d = tmp_path / 'cfgs'
+  d.mkdir()
+  (d / 'base.gin').write_text('Config.batch_size = 7\n')
+  (d / 'top.gin').write_text("include 'base.gin'\nConfig.far = 9.0\n")
+  cfg = ginlite.GinConfig()
+  cfg.parse_file(str(d / 'top.gin'))  # cwd is NOT tmp_path
+  assert cfg.bindings['Config']['batch_size'] == 7
+  assert cfg.bindings['Config']['far'] == 9.0
+
+
+def test_ref_containers_parse_and_roundtrip():
+  """Lists/tuples of @refs and %macros are valid gin; config_str's output
+  re-parses to the same bindings (the experiment snapshot contract)."""
+  cfg = ginlite.GinConfig()
+  cfg.parse_string("Model.fns = [@a, @b/c]\n"
+                   "Model.pair = (%M, 2.5)\n"
+                   "M = 4\n")
+  fns = cfg.bindings['Model']['fns']
+  assert fns == [ginlite.Ref('a'), ginlite.Ref('b/c')]
+  assert cfg.bindings['Model']['pair'] == (ginlite.Macro('M'), 2.5)
+  assert cfg.get('Model')['pair'] == (4, 2.5)
+
+  cfg2 = ginlite.GinConfig()
+  cfg2.parse_string(cfg.config_str())
+  assert cfg2.bindings == cfg.bindings
+  assert cfg2.macros == cfg.macros
