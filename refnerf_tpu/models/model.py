@@ -191,9 +191,21 @@ class Model(nn.Module):
             ray_results['specular_density'], tdist, rays.directions,
             opaque_background=self.opaque_background)[0]
 
-      # Deterministic background color (midpoint of the configured range).
+      # Background color. The torch port always takes the midpoint of a
+      # non-degenerate range (models.py:260-267), silently dropping
+      # multinerf's randomized-background training (the regularizer that
+      # stops a model from faking opacity with background color); restored
+      # here when training with an rng, like the other dropped stochastic
+      # paths (Config.randomized). Shipped configs pin (1, 1), so parity
+      # with the reference holds for them either way.
       if self.bg_intensity_range[0] == self.bg_intensity_range[1]:
         bg_rgbs = self.bg_intensity_range[0]
+      elif train and rng is not None:
+        rng, key_bg = jax.random.split(rng)
+        bg_rgbs = jax.random.uniform(
+            key_bg, (weights.shape[0], 3),
+            minval=self.bg_intensity_range[0],
+            maxval=self.bg_intensity_range[1])
       else:
         bg_rgbs = (self.bg_intensity_range[0] + self.bg_intensity_range[1]) / 2
 

@@ -86,7 +86,12 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
   keys = [k for k in rendering if k.startswith('ray_')]
   if keys:
     num_bundle_rays = rendering[keys[0]][0].shape[0]
-    perm_rng = np.random.default_rng(0 if rng is None else np.asarray(rng)[-1])
+    if rng is None:
+      seed = 0
+    else:
+      # Works for both raw uint32 PRNGKeys and new-style typed keys.
+      seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
+    perm_rng = np.random.default_rng(seed)
     ray_idx = perm_rng.permutation(num_bundle_rays)[:config.vis_num_rays]
     for k in keys:
       rendering[k] = [r[ray_idx] for r in rendering[k]]
@@ -94,11 +99,24 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
   return rendering
 
 
+# One jitted render program per (model, compute_extras): params and
+# train_frac are traced ARGUMENTS, so periodic validation during training
+# (new params + new train_frac each call) reuses the compiled executable
+# instead of re-jitting - and the weights are not baked into the program as
+# constants. Keyed by id(model) with the model kept alive by the value.
+_RENDER_PROGRAMS: Dict[Any, Callable] = {}
+
+
 def make_render_fn(model, params, train_frac: float = 1.0,
                    compute_extras: bool = True):
   """A jitted full-extras forward at fixed train_frac (eval/render use)."""
-  @jax.jit
-  def render_fn(rays):
-    return model.apply({'params': params}, rays, train_frac=train_frac,
-                       compute_extras=compute_extras, train=False)
-  return render_fn
+  key = (id(model), bool(compute_extras))
+  if key not in _RENDER_PROGRAMS:
+    def apply_fn(params, rays, train_frac, model=model,
+                 compute_extras=compute_extras):
+      return model.apply({'params': params}, rays, train_frac=train_frac,
+                         compute_extras=compute_extras, train=False)
+    _RENDER_PROGRAMS[key] = (model, jax.jit(apply_fn))
+  _, jitted = _RENDER_PROGRAMS[key]
+  train_frac = jnp.float32(train_frac)
+  return lambda rays: jitted(params, rays, train_frac)

@@ -75,8 +75,16 @@ def compute_data_loss(batch, renderings, rays, config, axis_name=None):
         weights = rendering['acc'] * batch.alphas
         normalized_normals_gt = ref_utils.l2_normalize(batch.normals)
         normalized_normals = ref_utils.l2_normalize(rendering['normals'])
-        normal_mae = ref_utils.compute_weighted_mae(
-            weights, normalized_normals, normalized_normals_gt)
+        # Global weighted ratio (numerator and denominator each psum'd):
+        # compute_weighted_mae's local sum()/sum() would log a
+        # mean-of-per-shard-ratios under shard_map, breaking this module's
+        # exactness contract when weight mass is uneven across shards.
+        one_eps = 1 - jnp.finfo(jnp.float32).eps
+        ang = jnp.arccos(jnp.clip(
+            (normalized_normals * normalized_normals_gt).sum(-1),
+            -one_eps, one_eps))
+        normal_mae = (_sum_all(weights * ang, axis_name) /
+                      _sum_all(weights, axis_name) * 180.0 / jnp.pi)
       else:
         normal_mae = jnp.nan
       stats.setdefault('normal_maes', []).append(normal_mae)
@@ -251,25 +259,33 @@ def noisy_consistency_loss(num_levels, renderings, renderings_noise, config,
     else:
       raise ValueError(f'Unknown consistency_specular_loss_type {stype}')
 
-    n = rendering['normals'][:n_samples, None]
-    n_pred = rendering['normals_pred'][:n_samples, None]
-    n_noise = reshape_noise(rendering_noise['normals'])
-    n_pred_noise = reshape_noise(rendering_noise['normals_pred'])
+    # Only touch the normal buffers when a normal-consistency term is
+    # actually on: a normals-less model (e.g. mipnerf configs) with only
+    # diffuse/specular consistency must not trip on missing keys.
+    normals_on = (config.consistency_normal_loss_mult > 0 or
+                  config.consistency_normal_coarse_loss_mult > 0)
+    normal_loss = 0.0
+    if normals_on:
+      n = rendering.get('normals')
+      n_pred = rendering.get('normals_pred')
+      if n is None or n_pred is None:
+        raise ValueError('Predicted normals and gradient normals cannot be '
+                         'None if the normal consistency loss is on.')
+      n = n[:n_samples, None]
+      n_pred = n_pred[:n_samples, None]
+      n_noise = reshape_noise(rendering_noise['normals'])
+      n_pred_noise = reshape_noise(rendering_noise['normals_pred'])
 
-    if n is None or n_pred is None:
-      raise ValueError('Predicted normals and gradient normals cannot be '
-                       'None if consistency loss is on.')
-
-    if config.consistency_normal_loss_target == 'normals':
-      normal_err = (1.0 - jnp.sum(n * n_noise, axis=-1)).mean(
-          axis=1, keepdims=True)
-    elif config.consistency_normal_loss_target == 'normals_pred':
-      normal_err = (1.0 - jnp.sum(n_pred * n_pred_noise, axis=-1)).mean(
-          axis=1, keepdims=True)
-    else:
-      raise ValueError('Given an unknown type of '
-                       'consistency_normal_loss_target.')
-    normal_loss = _masked_mean(normal_err, mask, axis_name)
+      if config.consistency_normal_loss_target == 'normals':
+        normal_err = (1.0 - jnp.sum(n * n_noise, axis=-1)).mean(
+            axis=1, keepdims=True)
+      elif config.consistency_normal_loss_target == 'normals_pred':
+        normal_err = (1.0 - jnp.sum(n_pred * n_pred_noise, axis=-1)).mean(
+            axis=1, keepdims=True)
+      else:
+        raise ValueError('Given an unknown type of '
+                         'consistency_normal_loss_target.')
+      normal_loss = _masked_mean(normal_err, mask, axis_name)
 
     if i < num_levels - 1:
       total_diffuse_loss += (warmup_ratio *

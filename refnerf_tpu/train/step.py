@@ -129,16 +129,22 @@ def make_train_step(model, config, raycast_fn=None):
   Returns:
     train_step(state, batch, cameras) -> (new_state, stats dict)
   """
-  if config.consistency_warmup_steps > config.consistency_decay_steps:
-    raise ValueError('Consistency loss decay should be after whole warmup.')
-
   num_levels = model.num_levels
   consistency_on = _consistency_enabled(config)
   distance_consistency_on = _distance_consistency_enabled(config)
-  if consistency_on and config.patch_size ** 2 > config.sample_noise_size:
-    raise ValueError(
-        f'Patch size {config.patch_size}^2 too large for sampling noise '
-        f'view points {config.sample_noise_size}')
+  if consistency_on or distance_consistency_on:
+    # Values outside (0, 1] mean "window disabled" (_consistency_ratio);
+    # only a genuinely inverted pair of ENABLED windows is a config error.
+    if (0.0 < config.consistency_decay_steps <= 1.0 and
+        0.0 < config.consistency_warmup_steps <= 1.0 and
+        config.consistency_warmup_steps > config.consistency_decay_steps):
+      raise ValueError('Consistency loss decay should be after whole warmup.')
+    # Both loss families consume the noisy second forward; a zero noise-ray
+    # budget would silently turn them into no-ops.
+    if config.patch_size ** 2 > config.sample_noise_size:
+      raise ValueError(
+          f'Patch size {config.patch_size}^2 too large for sampling noise '
+          f'view points {config.sample_noise_size}')
 
   # Extras are only needed when a loss/metric consumes composited normals or
   # distance stats; the reference computes them whenever sample_noise_size>0
@@ -277,6 +283,3 @@ def make_train_step(model, config, raycast_fn=None):
   return train_step
 
 
-def jit_train_step(train_step, mesh=None, donate=True):
-  """Jit with state donated; batch arrives pre-sharded across the mesh."""
-  return jax.jit(train_step, donate_argnums=(0,) if donate else ())

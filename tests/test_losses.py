@@ -324,3 +324,42 @@ def test_sample_noisy_rays_rotates_directions():
   np.testing.assert_allclose(
       np.linalg.norm(np.asarray(noisy.viewdirs), axis=-1),
       np.linalg.norm(np.asarray(rays.viewdirs), axis=-1), atol=1e-5)
+
+
+def test_consistency_without_normals_model():
+  """Diffuse/specular-only consistency must work on a normals-less model's
+  renderings (no 'normals' key), and the normal term must raise the
+  intended ValueError when switched on without normals."""
+  from types import SimpleNamespace
+
+  cfg = SimpleNamespace(
+      sample_noise_angles=2,
+      acc_threshold_for_consistency_loss=0.1,
+      consistency_diffuse_loss_type='mse',
+      consistency_specular_loss_type='mse',
+      consistency_normal_loss_target='normals',
+      consistency_normal_loss_mult=0.0,
+      consistency_normal_coarse_loss_mult=0.0,
+      consistency_diffuse_loss_mult=1.0,
+      consistency_diffuse_coarse_loss_mult=0.0,
+      consistency_specular_loss_mult=1.0,
+      consistency_specular_coarse_loss_mult=0.0,
+  )
+  rng = np.random.RandomState(0)
+  n, a = 4, 2
+  rendering = {
+      'diffuse': jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+      'specular': jnp.asarray(rng.rand(n, 3).astype(np.float32)),
+      'acc': jnp.ones((n,), jnp.float32),
+  }
+  noise = {
+      'diffuse': jnp.asarray(rng.rand(n * a, 3).astype(np.float32)),
+      'specular': jnp.asarray(rng.rand(n * a, 3).astype(np.float32)),
+  }
+  d, s, nl = losses.noisy_consistency_loss(1, [rendering], [noise], cfg)
+  assert np.isfinite(float(d)) and np.isfinite(float(s))
+  assert float(nl) == 0.0
+
+  cfg.consistency_normal_loss_mult = 1.0
+  with pytest.raises(ValueError, match='normals cannot be None'):
+    losses.noisy_consistency_loss(1, [rendering], [noise], cfg)

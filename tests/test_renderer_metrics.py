@@ -114,3 +114,29 @@ def test_weighted_percentile_vis():
   w = np.ones(4)
   p = vis_lib.weighted_percentile(x, w, [50])
   assert 2.0 <= p[0] <= 3.0
+
+
+def test_make_render_fn_reuses_compiled_program():
+  """Repeated make_render_fn calls (periodic validation) must reuse ONE
+  jitted program - params/train_frac are traced arguments, not baked
+  constants - and typed PRNG keys work for the vis-bundle seed."""
+  config, gin = configs_lib.parse(
+      None, [_TINY_MODEL + _REFNERF_FLAGS, 'Config.render_chunk_size = 32',
+             'Config.vis_num_rays = 4'])
+  model = construct.construct_model(config, gin)
+  params = construct.init_params(jax.random.PRNGKey(0), model)
+
+  before = len(renderer._RENDER_PROGRAMS)
+  fn1 = renderer.make_render_fn(model, params, train_frac=0.25)
+  fn2 = renderer.make_render_fn(model, params, train_frac=0.75)
+  assert len(renderer._RENDER_PROGRAMS) == before + 1
+
+  rays = _image_rays(4, 8)
+  out1 = renderer.render_image(fn1, rays, config,
+                               rng=jax.random.key(3))  # typed key
+  out2 = renderer.render_image(fn2, rays, config,
+                               rng=jax.random.PRNGKey(3))  # raw key
+  assert out1['rgb'].shape == out2['rgb'].shape == (4, 8, 3)
+  _, jitted = renderer._RENDER_PROGRAMS[(id(model), True)]
+  # Both train_fracs ran through the same executable (no retrace):
+  assert jitted._cache_size() == 1

@@ -210,3 +210,55 @@ Config.acc_threshold_for_consistency_loss = 0.1
             'distance_consistency']:
     assert k in stats['losses'], k
   assert np.isfinite(float(stats['loss']))
+
+
+def test_consistency_config_validation():
+  """Disabled decay/warmup windows (values outside (0,1]) must not trip
+  the inverted-window check; a zero noise-ray budget with a distance-only
+  consistency loss must fail loudly instead of silently no-opping."""
+  # warmup 0.6 with decay DISABLED (0.0) is legal.
+  config, model, state, batch = _setup(
+      'Config.sample_noise_size = 16\n'
+      'Config.sample_noise_angles = 2\n'
+      'Config.consistency_diffuse_loss_mult = 1e-4\n'
+      'Config.consistency_warmup_steps = 0.6\n'
+      'Config.consistency_decay_steps = 0.0\n')
+  step_lib.make_train_step(model, config)  # no raise
+
+  # Inverted ENABLED windows still raise.
+  config2, model2, _, _ = _setup(
+      'Config.sample_noise_size = 16\n'
+      'Config.sample_noise_angles = 2\n'
+      'Config.consistency_diffuse_loss_mult = 1e-4\n'
+      'Config.consistency_warmup_steps = 0.8\n'
+      'Config.consistency_decay_steps = 0.5\n')
+  import pytest as pytest_lib
+  with pytest_lib.raises(ValueError, match='decay should be after'):
+    step_lib.make_train_step(model2, config2)
+
+  # Distance consistency with no noise budget: loud, not a silent no-op.
+  config3, model3, _, _ = _setup(
+      'Config.sample_noise_size = 0\n'
+      'Config.consistency_distance_loss_mult = 1e-4\n')
+  with pytest_lib.raises(ValueError, match='too large for sampling noise'):
+    step_lib.make_train_step(model3, config3)
+
+
+def test_randomized_background_training():
+  """A non-degenerate bg_intensity_range samples per-ray backgrounds in
+  training (restored multinerf behavior the torch port dropped) and uses
+  the midpoint deterministically in eval."""
+  config, model, state, batch = _setup('Model.bg_intensity_range = (0., 1.)\n')
+  rays = batch.rays
+
+  def rgb(train, seed):
+    rng = jax.random.PRNGKey(seed) if seed is not None else None
+    renderings, _ = model.apply({'params': state.params}, rays,
+                                train_frac=1.0, compute_extras=False,
+                                train=train, rng=rng)
+    return np.asarray(renderings[-1]['rgb'])
+
+  r1, r2 = rgb(True, 1), rgb(True, 2)
+  assert np.abs(r1 - r2).max() > 1e-4  # different bg draws
+  e1, e2 = rgb(False, None), rgb(False, None)
+  np.testing.assert_array_equal(e1, e2)  # eval stays deterministic
