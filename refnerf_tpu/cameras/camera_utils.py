@@ -373,7 +373,10 @@ def pixels_to_rays(pix_x_int, pix_y_int, pixtocams, camtoworlds,
     theta = jnp.sqrt(
         jnp.sum(jnp.square(camera_dirs_stacked[..., :2]), axis=-1))
     theta = jnp.minimum(jnp.pi, theta)
-    sin_theta_over_theta = jnp.sin(theta) / theta
+    # sinc: the ray through the principal point has theta == 0 exactly
+    # (half-integer principal points); the limit is 1, not 0/0 = NaN.
+    sin_theta_over_theta = jnp.where(
+        theta > 1e-8, jnp.sin(theta) / jnp.maximum(theta, 1e-8), 1.0)
     camera_dirs_stacked = jnp.stack([
         camera_dirs_stacked[..., 0] * sin_theta_over_theta,
         camera_dirs_stacked[..., 1] * sin_theta_over_theta,

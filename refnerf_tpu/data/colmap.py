@@ -15,6 +15,8 @@ from typing import Dict
 
 import numpy as np
 
+from refnerf_tpu.cameras import camera_utils
+
 # COLMAP camera model ids -> (name, number of params).
 CAMERA_MODELS = {
     0: ('SIMPLE_PINHOLE', 3),
@@ -143,9 +145,13 @@ def read_cameras_txt(path) -> Dict[int, Camera]:
 def read_images_txt(path) -> Dict[int, ImagePose]:
   images = {}
   with open(path) as f:
-    lines = [l.strip() for l in f
-             if l.strip() and not l.strip().startswith('#')]
-  # Each image uses two lines; the second (2D points) is ignored.
+    # Each image uses two lines: pose, then its 2D points - which may be
+    # EMPTY for an image with no registered points. Only comments are
+    # filtered; dropping blank lines would misalign the two-line pairing
+    # and silently skip (or mis-parse) images.
+    lines = [l.strip() for l in f if not l.strip().startswith('#')]
+  while lines and not lines[-1]:
+    lines.pop()  # trailing newline(s) only
   for line in lines[::2]:
     parts = line.split()
     image_id = int(parts[0])
@@ -189,9 +195,8 @@ def load_scene(model_dir: str):
   scene = SceneReconstruction(model_dir).load()
 
   cam = scene.cameras[min(scene.cameras)]
-  fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
-  camtopix = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
-  pixtocam = np.linalg.inv(camtopix)
+  pixtocam = np.linalg.inv(np.asarray(
+      camera_utils.intrinsic_matrix(cam.fx, cam.fy, cam.cx, cam.cy)))
 
   w2c_mats = []
   names = []

@@ -102,10 +102,13 @@ def load_blender_posedata(data_dir, split=None):
   h = meta['h']
   cx = meta.get('cx', w / 2.0)
   cy = meta.get('cy', h / 2.0)
-  fx = meta.get('fl_x',
-                0.5 * w / np.tan(0.5 * float(meta['camera_angle_x'])))
-  fy = meta.get('fl_y',
-                0.5 * h / np.tan(0.5 * float(meta['camera_angle_y'])))
+  # NOTE: the fallback must stay lazy - a dict.get default would evaluate
+  # meta['camera_angle_*'] even when fl_x/fl_y are present, crashing on
+  # valid instant-NGP json that has focals but no angles.
+  fx = (meta['fl_x'] if 'fl_x' in meta
+        else 0.5 * w / np.tan(0.5 * float(meta['camera_angle_x'])))
+  fy = (meta['fl_y'] if 'fl_y' in meta
+        else 0.5 * h / np.tan(0.5 * float(meta['camera_angle_y'])))
   pixtocam = np.linalg.inv(camera_utils.intrinsic_matrix(fx, fy, cx, cy))
   coeffs = ['k1', 'k2', 'p1', 'p2']
   if not any(c in meta for c in coeffs):
@@ -138,7 +141,10 @@ class BaseDataset(metaclass=abc.ABCMeta):
     self._val_camera_idx = 0
     self._test_camera_idx = 0
     self._cast_rays_in_train_step = config.cast_rays_in_train_step
-    self._render_spherical = False
+    # Config.render_spherical is honored directly (the reference defines
+    # the field, configs.py:163, but only ever sets spherical through
+    # render_camtype='pano' - a latent dead flag there).
+    self._render_spherical = bool(config.render_spherical)
     self._debug_mode = config.dataset_debug_mode
     # Train batches are a pure function of (seed, batch index): each draw
     # derives a fresh generator keyed by the global batch counter, so a
@@ -263,12 +269,19 @@ class BaseDataset(metaclass=abc.ABCMeta):
     upper_border = self._patch_size - 1
 
     if self._debug_mode:
-      # Deterministic: first pixels of camera 0.
+      # Deterministic: first pixels of camera 0. The reference forgets the
+      # patch offsets here (datasets.py:458-464), so its debug batches have
+      # the wrong shape whenever patch_size > 1; keep determinism but make
+      # the batch shape identical to the normal path's.
       xs = range(lower_border, self.width - upper_border)
       ys = range(lower_border, self.height - upper_border)
       pixels = np.meshgrid(xs, ys)
       pix_x_int = pixels[0].ravel()[:num_patches].reshape(-1, 1, 1)
       pix_y_int = pixels[1].ravel()[:num_patches].reshape(-1, 1, 1)
+      patch_dx_int, patch_dy_int = camera_utils.pixel_coordinates(
+          self._patch_size, self._patch_size)
+      pix_x_int = pix_x_int + patch_dx_int
+      pix_y_int = pix_y_int + patch_dy_int
       cam_idx = np.repeat(0, num_patches).reshape(-1, 1, 1)
     else:
       rng = np.random.default_rng(
@@ -514,7 +527,12 @@ class TanksAndTemplesNerfPP(BaseDataset):
       files = [
           os.path.join(basedir, dirname, f)
           for f in sorted(os.listdir(os.path.join(basedir, dirname)))]
-      mats = np.array(parallel_map(lambda f: load_fn(open(f, 'rb')), files))
+
+      def load_one(fname):
+        with open(fname, 'rb') as fp:
+          return load_fn(fp)
+
+      mats = np.array(parallel_map(load_one, files))
       if shape is not None:
         mats = mats.reshape(mats.shape[:1] + shape)
       return mats

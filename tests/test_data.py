@@ -266,3 +266,54 @@ def test_threaded_sampler_relays_errors_and_exhaustion():
       break
     time_lib.sleep(0.05)
   assert threading_lib.active_count() <= before
+
+
+def test_colmap_images_txt_empty_points_lines(tmp_path):
+  """An image with zero registered 2D points writes an EMPTY second line;
+  the two-line pairing must survive (dropping blanks silently skipped or
+  mis-parsed every other image)."""
+  d = str(tmp_path)
+  with open(os.path.join(d, 'images.txt'), 'w') as f:
+    f.write('# header\n'
+            '1 1 0 0 0 0.5 0.2 1.0 1 a.png\n'
+            '\n'                                  # zero points
+            '2 0 1 0 0 0.1 0.0 2.0 1 b.png\n'
+            '10.5 20.5 7 30.5 40.5 9\n'           # two points
+            '3 0 0 1 0 0.0 0.3 3.0 1 c.png\n'
+            '\n')
+  ims = colmap.read_images_txt(os.path.join(d, 'images.txt'))
+  assert sorted(ims) == [1, 2, 3]
+  assert [ims[i].name for i in (1, 2, 3)] == ['a.png', 'b.png', 'c.png']
+  np.testing.assert_allclose(ims[3].tvec, [0.0, 0.3, 3.0])
+
+
+def test_blender_posedata_focal_only_json(tmp_path):
+  """instant-NGP style transforms.json with fl_x/fl_y but NO camera_angle
+  must load (the focal fallback must stay lazy)."""
+  import json as json_lib
+  meta = {
+      'w': 64, 'h': 48, 'fl_x': 50.0, 'fl_y': 52.0,
+      'frames': [{'file_path': 'images/r_0',
+                  'transform_matrix': np.eye(4).tolist()}],
+  }
+  os.makedirs(os.path.join(str(tmp_path), 'images'), exist_ok=True)
+  open(os.path.join(str(tmp_path), 'images', 'r_0'), 'wb').close()
+  with open(os.path.join(str(tmp_path), 'transforms.json'), 'w') as f:
+    json_lib.dump(meta, f)
+  names, poses, pixtocam, params, camtype = (
+      datasets.load_blender_posedata(str(tmp_path)))
+  assert names == ['r_0']
+  np.testing.assert_allclose(1.0 / pixtocam[0, 0], 50.0)
+
+
+def test_debug_mode_patch_shapes(blender_dir):
+  """Debug mode with patch_size > 1 must produce full-size patch batches
+  (the reference forgets the offsets and returns 1/p^2 of the batch)."""
+  cfg = _blender_config(dataset_debug_mode=True, patch_size=2,
+                        batch_size=16)
+  ds = datasets.load_dataset('train', blender_dir, cfg)
+  b = next(ds)
+  assert np.asarray(b.rays.pix_x_int).shape == (4, 2, 2)
+  # Each patch spans its 2x2 offsets.
+  px = np.asarray(b.rays.pix_x_int)
+  np.testing.assert_array_equal(px[:, :, 1], px[:, :, 0] + 1)
