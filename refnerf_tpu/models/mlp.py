@@ -77,7 +77,10 @@ class MLP(nn.Module):
   max_deg_point: int = 12               # max degree of IPE for 3D points
   weight_init: str = 'torch_uniform'
   skip_layer: int = 4                   # skip connection period, spatial net
-  skip_layer_dir: int = 4               # skip connection period, dir net
+  # Parity-only dead knob: the reference DEFINES skip_layer_dir but uses
+  # skip_layer in both trunks (models.py:579,693); binding it changes
+  # nothing there or here (see the NOTE in run_spatial_net).
+  skip_layer_dir: int = 4
   num_rgb_channels: int = 3
   deg_view: int = 4                     # SH degrees for view/refl directions
   use_reflections: bool = False         # encode refdirs instead of viewdirs
@@ -158,6 +161,10 @@ class MLP(nn.Module):
     if self.use_reflections and not (self.enable_pred_normals or
                                      not self.disable_density_normals):
       raise ValueError('Normals must be computed for reflection directions.')
+    if self.use_n_dot_v and self.disable_density_normals and not (
+        self.enable_pred_normals):
+      raise ValueError('use_n_dot_v needs a normals source (density '
+                       'normals or predicted normals).')
     if self.enable_pred_specular_density and not self.use_diffuse_color:
       raise ValueError('Specular density is useless if not using diffuse '
                        'color.')
@@ -381,14 +388,24 @@ class MLP(nn.Module):
 
     compute_density_normals = (
         not self.disable_density_normals
-        and (train or (self.use_reflections and not self.enable_pred_normals)))
+        and (train or ((self.use_reflections or self.use_n_dot_v)
+                       and not self.enable_pred_normals)))
 
-    if not (self.fuse_compositing and delta is not None
-            and self.density_noise == 0
-            and self.density_activation in (nn.softplus, jax.nn.softplus)
-            and delta.shape[-1] > 0
-            and self._block() % delta.shape[-1] == 0):
-      delta = None  # compositing stays in XLA (render.compute_alpha_weights)
+    if delta is not None and not (
+        self.fuse_compositing
+        and self.density_noise == 0
+        and self.density_activation in (nn.softplus, jax.nn.softplus)
+        and delta.shape[-1] > 0
+        and self._block() % delta.shape[-1] == 0):
+      # Compositing stays in XLA (render.compute_alpha_weights) - say so:
+      # this is the same silent-degradation class the fused-trunk warnings
+      # exist for.
+      if self.fuse_compositing:
+        _warn_fused_fallback(
+            'fuse_compositing inactive',
+            f'needs density_noise == 0, softplus density, and num_samples '
+            f'({delta.shape[-1]}) dividing fused_block ({self._block()})')
+      delta = None
 
     fh = None
     if self._fused(self.net_depth):
@@ -449,6 +466,13 @@ class MLP(nn.Module):
     if self.disable_rgb:
       rgb = jnp.zeros_like(means)
     else:
+      if viewdirs is None and self.use_diffuse_color:
+        # The diffuse/specular split only exists on the directional path;
+        # without it raw_rgb_diffuse is never produced (the reference hits
+        # an UnboundLocalError here, models.py:697-700).
+        raise ValueError(
+            'use_diffuse_color requires view directions '
+            '(Model.use_viewdirs = True).')
       raw_rgb = None
       fused_rgb_out = None
       if viewdirs is not None:
@@ -522,6 +546,14 @@ class MLP(nn.Module):
         elif fuse_ide:
           enc_dirs = jnp.broadcast_to(viewdirs[..., None, :],
                                       means.shape[:-1] + (3,))
+        elif self.enable_pred_roughness:
+          # Per-sample roughness attenuates the IDE, so the view directions
+          # must carry the sample axis too. (The reference's viewdirs-only
+          # call here mis-broadcasts against [..., s, 1] roughness,
+          # models.py:668-672 - a latent crash for this flag combo.)
+          vb = jnp.broadcast_to(viewdirs[..., None, :],
+                                means.shape[:-1] + (3,))
+          dir_enc = self.dir_enc_fn(vb, roughness)
         else:
           dir_enc = self.dir_enc_fn(viewdirs, roughness)
           dir_enc = jnp.broadcast_to(

@@ -154,15 +154,21 @@ class Model(nn.Module):
         key_mlp = None
       delta = None
       if getattr(mlp, 'fuse_compositing', False):
-        # Per-sample interval * |dir| for the in-kernel compositing
-        # epilogue (the delta of render.compute_alpha_weights); the
-        # opaque-background infinite final interval is clamped to a large
-        # finite value (identical weights for any sigma >= 1e-28).
-        delta = (tdist[..., 1:] - tdist[..., :-1]) * jnp.linalg.norm(
-            rays.directions[..., None, :], axis=-1)
         if self.opaque_background:
-          delta = jnp.concatenate(
-              [delta[..., :-1], jnp.full_like(delta[..., -1:], 1e10)], -1)
+          # The XLA path REPLACES the final density_delta with inf
+          # (render.py:160-166): last-sample alpha is exactly 1 with zero
+          # sigma gradient. A finite in-kernel stand-in (1e10) diverges for
+          # trained-empty rays (alpha < 1 once sigma < ~2e-9, a huge
+          # spurious gradient below that), so compositing stays in XLA.
+          from refnerf_tpu.models import mlp as mlp_module
+          mlp_module._warn_fused_fallback(
+              'fuse_compositing inactive', 'opaque_background=True needs '
+              'the exact infinite final interval; compositing stays in XLA')
+        else:
+          # Per-sample interval * |dir| for the in-kernel compositing
+          # epilogue (the delta of render.compute_alpha_weights).
+          delta = (tdist[..., 1:] - tdist[..., :-1]) * jnp.linalg.norm(
+              rays.directions[..., None, :], axis=-1)
       # Positional call so nn.remat's static_argnums can pin `train`
       # (construct.py wraps MLP in nn.remat when Model.remat is bound).
       ray_results = mlp(

@@ -658,3 +658,41 @@ def test_ide_geo_trunk_gradients_match():
     scale = max(1e-3, float(jnp.max(jnp.abs(a))))
     np.testing.assert_allclose(a, b, atol=2e-4 * scale, rtol=2e-4,
                                err_msg=jax.tree_util.keystr(path))
+
+
+def test_kernel_helper_copies_match_ops():
+  """The kernel re-implements linear_to_srgb / safe-trig reduction /
+  reflect+normalize geometry for in-kernel use; the fused-vs-XLA equality
+  contract depends on these copies never drifting from the ops versions.
+  Pin them together."""
+  from refnerf_tpu.ops import image as image_ops
+  from refnerf_tpu.ops import mathx
+  from refnerf_tpu.ops import ref_utils
+
+  rng = np.random.RandomState(3)
+  x = jnp.asarray(rng.uniform(0, 1, (257,)).astype(np.float32))
+  np.testing.assert_array_equal(
+      np.asarray(fused_mlp._linear_to_srgb(x)),
+      np.asarray(image_ops.linear_to_srgb(x)))
+
+  # safe_sin/cos(x) == sin/cos(_safe_trig_arg(x)) incl. the wrap boundary.
+  big = jnp.asarray(
+      rng.uniform(-1e6, 1e6, (4097,)).astype(np.float32))
+  np.testing.assert_allclose(
+      np.asarray(jnp.sin(fused_mlp._safe_trig_arg(big))),
+      np.asarray(mathx.safe_sin(big)), atol=1e-6)
+  np.testing.assert_allclose(
+      np.asarray(jnp.cos(fused_mlp._safe_trig_arg(big))),
+      np.asarray(mathx.safe_cos(big)), atol=1e-6)
+
+  grad = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+  v = jnp.asarray(rng.randn(64, 3).astype(np.float32))
+  v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+  r_kernel, nd_kernel = fused_mlp._dir_geometry(grad, v)
+  normals = -ref_utils.l2_normalize(grad)
+  r_ops = ref_utils.reflect(-v, normals)
+  nd_ops = jnp.sum(normals * v, axis=-1, keepdims=True)
+  np.testing.assert_allclose(np.asarray(r_kernel), np.asarray(r_ops),
+                             atol=1e-6)
+  np.testing.assert_allclose(np.asarray(nd_kernel), np.asarray(nd_ops),
+                             atol=1e-6)

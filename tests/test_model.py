@@ -179,3 +179,81 @@ def test_two_mlp_mode():
   model = construct.construct_model(config, gin)
   params = construct.init_params(jax.random.PRNGKey(0), model)
   assert 'nerf_mlp' in params and 'prop_mlp' in params
+
+
+def test_n_dot_v_without_reflections_renders_in_eval():
+  """use_n_dot_v without reflections/pred-normals must compute density
+  normals in eval too (normals_to_use was None -> trace crash)."""
+  flags = """
+NerfMLP.disable_density_normals = False
+NerfMLP.enable_pred_normals = False
+NerfMLP.use_directional_enc = True
+NerfMLP.use_reflections = False
+NerfMLP.use_n_dot_v = True
+"""
+  model, params, test_rays = _build(flags)
+  renderings, _ = model.apply({'params': params}, test_rays, train_frac=1.0,
+                              compute_extras=False, train=False)
+  assert np.isfinite(np.asarray(renderings[-1]['rgb'])).all()
+
+
+def test_n_dot_v_without_any_normals_is_loud():
+  import pytest as pytest_lib
+  flags = """
+NerfMLP.disable_density_normals = True
+NerfMLP.enable_pred_normals = False
+NerfMLP.use_directional_enc = True
+NerfMLP.use_reflections = False
+NerfMLP.use_n_dot_v = True
+"""
+  with pytest_lib.raises(ValueError, match='normals source'):
+    _build(flags)
+
+
+def test_roughness_without_reflections_renders():
+  """Per-sample roughness attenuation must broadcast against per-sample
+  view directions on the non-reflection IDE path (latent reference crash,
+  models.py:668-672)."""
+  flags = """
+NerfMLP.disable_density_normals = True
+NerfMLP.enable_pred_normals = False
+NerfMLP.use_directional_enc = True
+NerfMLP.use_reflections = False
+NerfMLP.enable_pred_roughness = True
+"""
+  model, params, test_rays = _build(flags, n_rays=5)  # batch != samples
+  renderings, _ = model.apply({'params': params}, test_rays, train_frac=1.0,
+                              compute_extras=False, train=False)
+  assert np.isfinite(np.asarray(renderings[-1]['rgb'])).all()
+
+
+def test_diffuse_without_viewdirs_is_loud():
+  import pytest as pytest_lib
+  flags = """
+Model.use_viewdirs = False
+NerfMLP.disable_density_normals = True
+NerfMLP.enable_pred_normals = False
+NerfMLP.use_directional_enc = False
+NerfMLP.use_reflections = False
+NerfMLP.use_diffuse_color = True
+"""
+  with pytest_lib.raises(ValueError, match='use_diffuse_color requires'):
+    _build(flags)
+
+
+def test_fuse_compositing_opaque_background_falls_back():
+  """opaque_background must route compositing to the exact XLA path (the
+  in-kernel finite stand-in diverges for trained-empty rays); weights come
+  from compute_alpha_weights and still sum to 1."""
+  flags = _REFNERF_FLAGS + """
+Model.opaque_background = True
+NerfMLP.fused_trunk = 'on'
+NerfMLP.fused_block = 8
+NerfMLP.fuse_compositing = True
+"""
+  model, params, test_rays = _build(flags)
+  renderings, ray_history = model.apply(
+      {'params': params}, test_rays, train_frac=1.0,
+      compute_extras=False, train=False)
+  acc = np.asarray(renderings[-1]['acc'])
+  np.testing.assert_allclose(acc, 1.0, atol=1e-5)  # opaque: alpha_last=1
