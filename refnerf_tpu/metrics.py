@@ -25,10 +25,6 @@ LPIPS_WEIGHTS_ENV = 'REFNERF_TPU_LPIPS_WEIGHTS'
 # and repeating the missing-LPIPS-weights warning spams logs/test output.
 _LPIPS_WARNED = [False]
 
-# VGG16 conv layers per block used by LPIPS, with channel counts.
-_VGG_BLOCKS = [
-    (2, 64), (2, 128), (3, 256), (3, 512), (3, 512),
-]
 _IMAGENET_MEAN = np.array([-0.030, -0.088, -0.188], np.float32)
 _IMAGENET_STD = np.array([0.458, 0.448, 0.450], np.float32)
 
@@ -43,24 +39,33 @@ class VGGLPIPS:
 
   def __init__(self, weights_path: str):
     data = np.load(weights_path)
-    self.params = {k: np.asarray(data[k]) for k in data.files}
     # torchvision VGG16 conv layer indices; LPIPS taps the post-relu output
     # of the last conv in each block (relu1_2/2_2/3_3/4_3/5_3).
     self.conv_ids = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
     self.block_end_convs = {2, 7, 14, 21, 28}
+    # Device-resident, pre-transposed weights + ONE jitted distance program:
+    # re-uploading ~55 MB of kernels per frame and dispatching eagerly would
+    # serialize the eval loop's host pipeline.
+    self.params = {}
+    for cid in self.conv_ids:
+      self.params[f'w{cid}'] = jnp.transpose(  # OIHW -> HWIO
+          jnp.asarray(data[f'features_{cid}_weight']), (2, 3, 1, 0))
+      self.params[f'b{cid}'] = jnp.asarray(data[f'features_{cid}_bias'])
+    for k in range(5):
+      self.params[f'lin{k}'] = jnp.asarray(
+          data[f'lin{k}_weight'])[:, :, 0, 0].T  # [C, 1]
+    self._dist = jax.jit(self._distance)
 
-  def _features(self, x):
+  def _features(self, params, x):
     """x: [H, W, 3] in [-1, 1] -> list of 5 unit-normalized feature maps."""
     x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
     x = x[None]  # NHWC
     feats = []
     for conv_id in self.conv_ids:
-      w = jnp.asarray(self.params[f'features_{conv_id}_weight'])
-      b = jnp.asarray(self.params[f'features_{conv_id}_bias'])
-      w = jnp.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
       x = jax.lax.conv_general_dilated(
-          x, w, (1, 1), 'SAME', dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-      x = jax.nn.relu(x + b)
+          x, params[f'w{conv_id}'], (1, 1), 'SAME',
+          dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+      x = jax.nn.relu(x + params[f'b{conv_id}'])
       if conv_id in self.block_end_convs:
         # lpips.normalize_tensor semantics: eps added to the norm, not the
         # squared sum (matters only at exactly-zero features).
@@ -71,17 +76,21 @@ class VGGLPIPS:
               x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), 'VALID')
     return feats
 
-  def __call__(self, img0, img1) -> float:
-    """img0/img1: [H, W, 3] in [0, 1]."""
-    f0 = self._features(jnp.asarray(img0) * 2 - 1)
-    f1 = self._features(jnp.asarray(img1) * 2 - 1)
+  def _distance(self, params, img0, img1):
+    f0 = self._features(params, img0 * 2 - 1)
+    f1 = self._features(params, img1 * 2 - 1)
     total = 0.0
     for k, (a, b) in enumerate(zip(f0, f1)):
       diff = (a - b) ** 2
-      lin = jnp.asarray(self.params[f'lin{k}_weight'])[:, :, 0, 0].T  # [C,1]
-      weighted = jnp.einsum('nhwc,co->nhwo', diff, lin)
+      weighted = jnp.einsum('nhwc,co->nhwo', diff, params[f'lin{k}'])
       total = total + jnp.mean(weighted)
-    return float(total)
+    return total
+
+  def __call__(self, img0, img1) -> float:
+    """img0/img1: [H, W, 3] in [0, 1]."""
+    return float(self._dist(self.params,
+                            jnp.asarray(img0, jnp.float32),
+                            jnp.asarray(img1, jnp.float32)))
 
 
 class MetricHarness:

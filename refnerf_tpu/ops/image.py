@@ -149,9 +149,8 @@ def ssim(img0, img1, max_val=1.0, filter_size=11, filter_sigma=1.5,
   def blur(x):
     # x: [H, W, C]; separable valid-mode Gaussian filter.
     def conv_h(z):  # convolve along axis 0
-      return jnp.moveaxis(
-          jax.vmap(lambda col: jnp.convolve(col, kernel, mode='valid'),
-                   in_axes=1, out_axes=1)(z), 0, 0)
+      return jax.vmap(lambda col: jnp.convolve(col, kernel, mode='valid'),
+                      in_axes=1, out_axes=1)(z)
     x = jax.vmap(conv_h, in_axes=2, out_axes=2)(x)      # filter H
     x = jnp.swapaxes(x, 0, 1)
     x = jax.vmap(conv_h, in_axes=2, out_axes=2)(x)      # filter W

@@ -156,7 +156,9 @@ def sample(rng, t, w_logits, num_samples, single_jitter=False,
     # Stratified samples: evenly spaced bins, jittered within each bin but
     # never crossing into the neighboring bin (matches jax multinerf).
     u_max = eps + (1 - eps) / num_samples
-    max_jitter = (1 - u_max) / (num_samples - 1) - eps
+    # max(1, .): a single stratified sample jitters within its whole bin
+    # instead of dividing by zero.
+    max_jitter = (1 - u_max) / max(1, num_samples - 1) - eps
     d = 1 if single_jitter else num_samples
     u = (jnp.linspace(0, 1 - u_max, num_samples) +
          jax.random.uniform(rng, t.shape[:-1] + (d,), maxval=max_jitter))

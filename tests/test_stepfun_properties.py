@@ -140,3 +140,13 @@ def test_weighted_percentile_brackets_support(seed):
   assert bool(jnp.all(wp >= t[..., :1] - 1e-6))
   assert bool(jnp.all(wp <= t[..., -1:] + 1e-6))
   assert bool(jnp.all(jnp.diff(wp, axis=-1) >= -1e-6))
+
+
+def test_single_stratified_sample():
+  """num_samples=1 with an rng jitters within the whole domain instead of
+  dividing by zero (regression)."""
+  t = jnp.asarray([0.0, 1.0, 2.0, 3.0])
+  logits = jnp.asarray([0.0, 0.0, 0.0])
+  s = stepfun.sample(jax.random.PRNGKey(0), t, logits, 1)
+  assert s.shape == (1,)
+  assert 0.0 <= float(s[0]) <= 3.0
