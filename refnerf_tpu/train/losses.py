@@ -129,9 +129,12 @@ def orientation_loss(rays, num_levels, ray_history, config):
   total_loss = 0.0
   for i, ray_results in enumerate(ray_history):
     w = ray_results['weights']
-    n = ray_results[config.orientation_loss_target]
+    n = ray_results.get(config.orientation_loss_target)
     if n is None:
-      raise ValueError('Normals cannot be None if orientation loss is on.')
+      raise ValueError(
+          f'Normals ({config.orientation_loss_target!r}) cannot be absent '
+          'if the orientation loss is on; the model config must enable '
+          'that normals source.')
     # Negate viewdirs so they point from the surface toward the camera.
     v = -rays.viewdirs
     terms = ref_utils.orientation_loss_terms(w, n, v)
@@ -148,8 +151,8 @@ def predicted_normal_loss(num_levels, ray_history, config):
   total_loss = 0.0
   for i, ray_results in enumerate(ray_history):
     w = ray_results['weights']
-    n = ray_results['normals']
-    n_pred = ray_results['normals_pred']
+    n = ray_results.get('normals')
+    n_pred = ray_results.get('normals_pred')
     if n is None or n_pred is None:
       raise ValueError('Predicted normals and gradient normals cannot be None '
                        'if predicted normal loss is on.')
