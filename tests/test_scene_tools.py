@@ -83,3 +83,32 @@ def test_shell_launchers_parse():
   assert len(scripts) >= 12
   for s in scripts:
     subprocess.run(['bash', '-n', s], check=True)
+
+
+def test_downsample_images_tool(tmp_path):
+  """images_N generation matches the in-memory area downsample and loads
+  through the LLFF factor-directory path."""
+  from PIL import Image
+
+  from tools.downsample_images import downsample_scene
+  from refnerf_tpu.data.datasets import downsample_np, load_img
+
+  src = tmp_path / 'images'
+  src.mkdir()
+  rng = np.random.RandomState(0)
+  for i in range(3):
+    img = rng.randint(0, 256, (17, 13, 3)).astype(np.uint8)  # odd dims
+    Image.fromarray(img).save(str(src / f'im_{i}.png'))
+
+  n = downsample_scene(str(tmp_path), [2, 4])
+  assert n == 6
+  for factor in (2, 4):
+    d = tmp_path / f'images_{factor}'
+    files = sorted(os.listdir(d))
+    assert len(files) == 3
+    small = load_img(str(d / files[0]))
+    assert small.shape == (17 // factor, 13 // factor, 3)
+    full = load_img(str(src / 'im_0.png'))
+    cropped = full[:17 - 17 % factor, :13 - 13 % factor]
+    np.testing.assert_allclose(
+        small, np.round(downsample_np(cropped, factor)), atol=0.5)
