@@ -37,6 +37,9 @@ for i in $(seq 1 90); do
     echo "=== quality check $(date -u) ==="
     timeout 3600 python tools/quality_check.py --steps 3000 2>&1 \
       | tee /tmp/quality_3k.log
+    echo "=== protocol eval/render re-measure $(date -u) ==="
+    timeout 14400 bash tools/rerun_protocol_eval.sh 2>&1 \
+      | tee /tmp/protocol_eval2.log
     echo "=== measurement queue done $(date -u) ==="
     exit 0
   fi
