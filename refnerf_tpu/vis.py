@@ -17,7 +17,6 @@ import os
 import shutil
 import subprocess
 import tempfile
-from typing import List
 
 import numpy as np
 from matplotlib import colormaps as mpl_colormaps

@@ -16,7 +16,6 @@ explicit --lower/--upper.
 import os
 import sys
 
-import numpy as np
 from absl import app, flags
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(

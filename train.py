@@ -7,10 +7,9 @@ Seeds every RNG source, builds the NeRFSystem, and runs the training loop
 
 import os
 import random
-import sys
 
 import numpy as np
-from absl import app, flags
+from absl import app
 
 from refnerf_tpu import configs as configs_lib
 
