@@ -24,6 +24,7 @@ for i in $(seq 1 90); do
     tail -1 /tmp/tpu_watch_try.log
     echo "=== A/B queue $(date -u) ==="
     bash tools/ab_fused_features.sh 2>&1 | tee /tmp/ab_results.log
+    python tools/summarize_ab.py /tmp/ab_results.log || true
     echo "=== plain bench $(date -u) ==="
     timeout 1800 python bench.py 2>&1 | tee /tmp/bench_plain.log
     echo "=== serving bench $(date -u) ==="
