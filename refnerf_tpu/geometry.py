@@ -272,11 +272,18 @@ def vertex_colors(model, params, verts, footprint, chunk=2 ** 16):
 
 
 def extract_mesh(model, params, resolution=128, lower=(-1.5, -1.5, -1.5),
-                 upper=(1.5, 1.5, 1.5), iso=50.0, chunk=2 ** 16,
+                 upper=(1.5, 1.5, 1.5), iso=25.0, chunk=2 ** 16,
                  colors=True):
   """density_grid + marching_tetrahedra (+ diffuse vertex colors) in world
-  coordinates. iso=None auto-picks the grid midpoint (min+max)/2 - always
-  a crossing value unless the field is constant."""
+  coordinates.
+
+  iso=25 calibrated on the 25k protocol checkpoint against its analytic
+  scene: isos 10-25 put >99% of vertices within one lattice step of the
+  true surface (median |err| ~ step/5), 50 biases ~0.05 inside, and the
+  field midpoint lands far inside the density ramp. (sigma=25 is also
+  where a typical sample interval of ~0.03 scene units saturates:
+  1-exp(-25*0.03) ~ 0.53.) iso=None auto-picks the grid midpoint - a
+  guaranteed crossing for untrained/smoke fields, not a good surface."""
   grid = density_grid(model, params, resolution, lower, upper, chunk=chunk)
   if iso is None:
     iso = float(grid.min() + grid.max()) / 2

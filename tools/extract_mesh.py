@@ -6,7 +6,7 @@ density-gradient normals (refnerf_tpu/geometry.py).
 
 Usage (same gin surface as eval.py, plus mesh flags):
   python tools/extract_mesh.py --gin_configs=... \
-      [--resolution 256] [--iso 50] [--bound 1.5] [--out mesh.ply]
+      [--resolution 256] [--iso 25] [--bound 1.5] [--out mesh.ply]
 
 Scene bounds default to the [-bound, bound]^3 cube around the origin,
 which matches the Blender-protocol object box; for LLFF-style scenes pass
@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 from refnerf_tpu import configs as configs_lib  # noqa: E402
 
 flags.DEFINE_integer('resolution', 256, 'grid resolution per axis')
-flags.DEFINE_float('iso', 50.0, 'density isovalue; pass a negative value '
+flags.DEFINE_float('iso', 25.0, 'density isovalue; pass a negative value '
                    'to auto-pick the grid midpoint (min+max)/2')
 flags.DEFINE_float('bound', 1.5, 'half-extent of the sampling cube')
 flags.DEFINE_list('lower', None, 'explicit lower corner x,y,z')
