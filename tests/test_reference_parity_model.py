@@ -146,22 +146,62 @@ def _ref_model_config():
   return cfg
 
 
-def build_pair(scenario_name):
-  """Construct (torch_model, flax_model, flax_params) with shared weights."""
-  sc = dict(SCENARIOS[scenario_name])
+class _FallbackMLP(torch.nn.Module):
+  """Compatibility shim around a torch reference MLP that emits no
+  diffuse/specular decomposition (use_diffuse_color=False or disable_rgb).
+
+  Latent reference bug: Model.volumetric_rendering reads
+  ray_results['diffuse'/'specular'] unconditionally (reference
+  models.py:272-273) but the MLP only emits them under use_diffuse_color
+  (models.py:742-744) - the shipped blender_mipnerf config crashes the
+  reference at runtime. This wrapper applies this framework's documented
+  fallback (diffuse=rgb, specular=0, models/model.py:173-178) so the rest
+  of the pipeline can be compared."""
+
+  def __init__(self, mlp):
+    super().__init__()
+    self.mlp = mlp
+
+  def forward(self, *a, **k):
+    rr = self.mlp(*a, **k)
+    rr.setdefault('diffuse', rr['rgb'])
+    rr.setdefault('specular', torch.zeros_like(rr['rgb']))
+    return rr
+
+
+def _needs_diffuse_shim(mlp_kw):
+  return (not mlp_kw.get('use_diffuse_color', True)
+          or mlp_kw.get('disable_rgb', False))
+
+
+def build_pair(scenario):
+  """Construct (torch_model, flax_model, flax_params) with shared weights.
+
+  `scenario` is a SCENARIOS key or a dict of Model knobs; the optional
+  'mlp' entry overrides MLP_KW for the nerf MLP and the optional 'prop'
+  entry (a full MLP kwargs dict) requests a SEPARATE proposal MLP
+  (reference single_mlp=False, models.py:74)."""
+  sc = dict(SCENARIOS[scenario]) if isinstance(scenario, str) else dict(
+      scenario)
   srgb_when_rendering = sc.pop('srgb_mapping_when_rendering')
   srgb_type = sc.pop('srgb_mapping_type')
   mlp_kw = dict(MLP_KW, **sc.pop('mlp', {}))
+  prop_kw = sc.pop('prop', None)
   specular_density = sc.pop('render_with_specular_density', False)
+  # Ray-warp curves are named: this framework's construct_ray_warps takes
+  # the name directly (ops/coord.py:67), the torch reference needs the
+  # torch callable of the same name (reference coord.py:86-94).
+  raydist_name = sc.pop('raydist_fn', None)
 
   # --- flax side ---
   fm = Model(
       nerf_mlp=MLP(name='NerfMLP', **mlp_kw),
-      prop_mlp=None,  # single_mlp=True, as in every shipped reference config
+      prop_mlp=MLP(name='PropMLP', **prop_kw) if prop_kw else None,
       bg_intensity_range=(1.0, 1.0),
       render_with_specular_density=specular_density,
       srgb_mapping_when_rendering=srgb_when_rendering,
       srgb_mapping_type=srgb_type,
+      raydist_fn=raydist_name,
       vis_num_rays=4,
       **sc)
   arrays = make_ray_arrays(N_RAYS)
@@ -177,46 +217,37 @@ def build_pair(scenario_name):
   saved = (REF.models.NerfMLP, REF.models.PropMLP)
   try:
     REF.models.NerfMLP = lambda: REF.models.MLP(**mlp_kw)
-    REF.models.PropMLP = REF.models.NerfMLP
-    tm = REF.models.Model(config=ref_cfg, single_mlp=True,
-                          bg_intensity_range=(1.0, 1.0), **sc)
+    REF.models.PropMLP = ((lambda: REF.models.MLP(**prop_kw)) if prop_kw
+                          else REF.models.NerfMLP)
+    tm = REF.models.Model(
+        config=ref_cfg, single_mlp=prop_kw is None,
+        bg_intensity_range=(1.0, 1.0),
+        raydist_fn=getattr(torch, raydist_name) if raydist_name else None,
+        **sc)
   finally:
     REF.models.NerfMLP, REF.models.PropMLP = saved
   inner_mlp = tm.nerf_mlp
-  if not mlp_kw.get('use_diffuse_color', True):
-    # Latent reference bug: Model.volumetric_rendering reads
-    # ray_results['diffuse'/'specular'] unconditionally
-    # (reference models.py:272-273) but the MLP only emits them under
-    # use_diffuse_color (models.py:742-744) - the shipped blender_mipnerf
-    # config crashes the reference at runtime. Wrap the torch MLP with this
-    # framework's documented fallback (diffuse=rgb, specular=0,
-    # models/model.py:173-178) so the rest of the pipeline can be compared.
-    class _FallbackMLP(torch.nn.Module):
-      def __init__(self, mlp):
-        super().__init__()
-        self.mlp = mlp
-
-      def forward(self, *a, **k):
-        rr = self.mlp(*a, **k)
-        rr.setdefault('diffuse', rr['rgb'])
-        rr.setdefault('specular', torch.zeros_like(rr['rgb']))
-        return rr
-
+  inner_prop = tm.prop_mlp
+  if _needs_diffuse_shim(mlp_kw):
     tm.nerf_mlp = _FallbackMLP(inner_mlp)
-    tm.prop_mlp = tm.nerf_mlp  # single_mlp
+    if prop_kw is None:
+      tm.prop_mlp = tm.nerf_mlp  # single_mlp
+  if prop_kw is not None and _needs_diffuse_shim(prop_kw):
+    tm.prop_mlp = _FallbackMLP(inner_prop)
 
   # Materialize the LazyLinear layers with one dummy forward.
   tm.eval()
   with torch.no_grad():
     tm(torch_rays(arrays), train_frac=1.0, compute_extras=False)
 
-  copy_params_into_torch(params, inner_mlp)
+  copy_params_into_torch(params['nerf_mlp'], inner_mlp)
+  if prop_kw is not None:
+    copy_params_into_torch(params['prop_mlp'], inner_prop)
   return tm, fm, params
 
 
-def copy_params_into_torch(params, tmlp):
-  """Write the flax MLP parameters into the torch reference MLP."""
-  sub = params['nerf_mlp']
+def copy_params_into_torch(sub, tmlp):
+  """Write one flax MLP's parameter sub-dict into the torch reference MLP."""
 
   def set_linear(layer, p):
     layer.weight.data = torch.tensor(np.array(p['kernel']).T.copy())
@@ -225,7 +256,10 @@ def copy_params_into_torch(params, tmlp):
   for i, layer in enumerate(tmlp.spatial_net):
     set_linear(layer, sub[f'spatial_{i}'])
   for i, layer in enumerate(tmlp.viewdir_mlp):
-    set_linear(layer, sub[f'viewdir_{i}'])
+    # Absent under disable_rgb: the directional trunk is never called, so
+    # neither side materializes it (torch LazyLinear stays uninitialized).
+    if f'viewdir_{i}' in sub:
+      set_linear(layer, sub[f'viewdir_{i}'])
   name_map = [
       ('raw_density', 'raw_density'),
       ('raw_specular_density', 'raw_specular_density'),
