@@ -595,10 +595,16 @@ class MLP(nn.Module):
                 'needs diffuse+tint+srgb+norm with sigmoid rgb_activation')
           ks, bs = self._stack_params(self.viewdir_mlp)
           rp = self.rgb_layer.variables['params']
+          # The in-kernel IDE recurrence + rgb epilogue enlarge the
+          # backward's live activation set; at block 512 the v5e scoped
+          # VMEM stack overflows (measured 28.5M vs the 16M limit), so the
+          # dir stage drops to half-block when those extras are fused.
+          dir_block = self._block() // 2 if (fuse_ide or self.fuse_dir_rgb) \
+              else self._block()
           outs = fused_mlp.fused_trunk(
               x, ks, bs, head_f32=(rp['kernel'], rp['bias']), out_y=False,
               skip_period=self.skip_layer, needs_dx=True,
-              compute_dtype=self.compute_dtype, block=self._block(),
+              compute_dtype=self.compute_dtype, block=dir_block,
               ide_deg=self.deg_view if fuse_ide else 0, ide_at=ide_at,
               ide_geo=fuse_geo,
               rgb_epilogue=(

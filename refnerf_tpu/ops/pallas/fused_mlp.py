@@ -422,7 +422,8 @@ def _ide_bwd(cfg: TrunkCfg, d, aux, g_re, g_im):
   d_re_st = _dot(g_re * zpat, d['gm'][:], ((1,), (1,)))
   d_im_st = _dot(g_im * zpat, d['gm'][:], ((1,), (1,)))
   # Shifted stacks (col m holds power m-1; col 0 is zero) x the power index.
-  mar = jax.lax.broadcasted_iota(jnp.float32, (1, lm1), 1)
+  # Mosaic's tpu.iota is integer-only; build int32 then convert.
+  mar = jax.lax.broadcasted_iota(jnp.int32, (1, lm1), 1).astype(jnp.float32)
   zero = jnp.zeros_like(vmz_cols[0])
   vmz_s = _cols_to_stack([zero] + vmz_cols[:-1])
   re_s = _cols_to_stack([zero] + re_cols[:-1])
@@ -450,6 +451,26 @@ def _scan_mask(cfg: TrunkCfg):
   return jnp.where(col < row, jnp.float32(1), jnp.float32(0))
 
 
+def _tile_to_col(cfg: TrunkCfg, t):
+  """[block/S, S] ray-major tile -> the row-major [block, 1] column.
+
+  Mosaic's shape cast can't flatten lanes into sublanes, so the regroup
+  runs as a ray-selection matmul ([block, R] one-hot @ tile -> each row
+  holds its ray's S samples) followed by a lane pick (iota mask + lane
+  reduction). Exact: the f32 MXU pass multiplies by exact 1.0/0.0 one-hot
+  entries (the bf16 3-way f32 split is lossless).
+  """
+  s = cfg.weights
+  r = cfg.block // s
+  rows = jax.lax.broadcasted_iota(jnp.int32, (cfg.block, r), 0)
+  ray = jax.lax.broadcasted_iota(jnp.int32, (cfg.block, r), 1)
+  pick = jnp.where(rows // s == ray, jnp.float32(1), jnp.float32(0))
+  exp = _dot(pick, t, ((1,), (0,)))  # [block, S]
+  lane = jax.lax.broadcasted_iota(jnp.int32, (cfg.block, s), 1)
+  rpos = jax.lax.broadcasted_iota(jnp.int32, (cfg.block, s), 0) % s
+  return jnp.sum(jnp.where(lane == rpos, exp, 0.0), axis=-1, keepdims=True)
+
+
 def _epilogue_fwd(cfg: TrunkCfg, d, sig_raw):
   """In-kernel compositing weights from the raw density column.
 
@@ -462,7 +483,9 @@ def _epilogue_fwd(cfg: TrunkCfg, d, sig_raw):
   s = cfg.weights
   raw_t = sig_raw.reshape(cfg.block // s, s) + d['bsig'][:]
   sigma = jax.nn.softplus(raw_t)
-  dd = sigma * d['delta'][:]
+  # delta moves as a [block, 1] column (any block is a legal tiling);
+  # the column->tile regroup is the Mosaic-supported reshape direction.
+  dd = sigma * d['delta'][:].reshape(cfg.block // s, s)
   excl = _dot(dd, _scan_mask(cfg), ((1,), (1,)))
   trans = jnp.exp(-excl)
   alpha = 1.0 - jnp.exp(-dd)
@@ -586,7 +609,9 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
     sig_raw = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
     sig_ref[:] = sig_raw.reshape(sig_ref.shape)
     if cfg.weights:
-      w_ref[:] = _epilogue_fwd(cfg, d, sig_raw)[0].reshape(w_ref.shape)
+      # w_ref is a [block, 1] column; the tile->column flatten has no
+      # Mosaic shape cast, so it runs through _tile_to_col.
+      w_ref[:] = _tile_to_col(cfg, _epilogue_fwd(cfg, d, sig_raw)[0])
   if cfg.h_f32:
     hval = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
     h_ref[:] = hval
@@ -674,13 +699,17 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
       # the [rays, S] layout), ct_raw = ct_dd * delta * sigmoid(raw +
       # bsig) (softplus').
       # Exactness vs jax.grad: tests/test_epilogue_design.py.
+      s = cfg.weights
       sig_raw = jnp.sum(y32 * d['wd'][:], axis=-1, keepdims=True)
       w, trans, _, _, raw_t = _epilogue_fwd(cfg, d, sig_raw)
-      wbar = wbar_ref[:]  # [rays, S]
+      # Cotangents arrive as [block, 1] columns; column->tile is the
+      # supported reshape direction, tile->column goes via _tile_to_col.
+      wbar = wbar_ref[:].reshape(cfg.block // s, s)
       suffix = _dot(wbar * w, _scan_mask(cfg), ((1,), (0,)))
-      ct_raw = ((wbar * (trans - w) - suffix) * d['delta'][:]
+      ct_raw = ((wbar * (trans - w) - suffix)
+                * d['delta'][:].reshape(cfg.block // s, s)
                 * jax.nn.sigmoid(raw_t))
-      sbar = sbar + ct_raw.reshape(cfg.block, 1)
+      sbar = sbar + _tile_to_col(cfg, ct_raw)
       dbsig_ref[:] += jnp.sum(ct_raw, keepdims=True)
     g32 = sbar * d['wd'][:]
     dwd_ref[:] += _dot(sbar, y32, ((0,), (0,)))
@@ -858,18 +887,16 @@ def _make_op(cfg: TrunkCfg):
                    + W * (cfg.h_f32 + cfg.h_cdt + int(cfg.density)))
     return int(per * passes)
 
-  # With the compositing epilogue, sigma / weights / delta move as
-  # [rows, samples] tiles instead of [N, 1] columns: rows are ray-major so
-  # the regrouping is a free in-VMEM reshape, the HBM arrays land directly
-  # in the [batch, samples] layout every consumer wants, and the
-  # degenerate-tiling [N, 1] relayout copies (~0.4 ms each at batch 4096
-  # on v5e) never exist.
-  S_w = cfg.weights
-  col_rows = (cfg.block // S_w) if S_w else cfg.block
-  col_cols = S_w if S_w else 1
+  # Sigma / weights / delta move as [N, 1] columns: a [block/S, S] tile
+  # block would need block/S to be a multiple of 8 sublanes (1024 at
+  # S=128), and the spatial backward overflows the 16 MB scoped-VMEM
+  # stack at that block (measured 21.2 MB on v5e). Columns are legal at
+  # any block; the in-kernel epilogue regroups column->tile with the
+  # supported reshape and returns tile->column via _tile_to_col.
+  col_rows, col_cols = cfg.block, 1
 
   def _col_shape(b):
-    return (b // S_w, S_w) if S_w else (b, 1)
+    return (b, 1)
 
   def _fwd(xs, wargs, delta, bsig, rgbx):
     b = xs[0].shape[0]
@@ -1356,17 +1383,15 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
 
   dcol = bsig = None
   if cfg.weights:
-    # delta moves as [rays, samples] tiles (same ray-major rows the sigma
-    # and weights outputs use) - no [N, 1] degenerate-tiling columns.
+    # delta rides as an [N, 1] column, same row order as the sigma and
+    # weights outputs (rows are ray-major, samples-minor).
     npad = _round_up(max(n, 1), block)
-    dcol = jnp.pad(delta.astype(jnp.float32).reshape(n // samples, samples),
-                   ((0, (npad - n) // samples), (0, 0)))
+    dcol = jnp.pad(delta.astype(jnp.float32).reshape(n, 1),
+                   ((0, npad - n), (0, 0)))
     bsig = ((0.0 if bd is None else bd.astype(jnp.float32)[0])
             + jnp.float32(act_bias)).reshape(1, 1)
 
   def _col_out(o):
-    if cfg.weights:
-      return o[:n // samples].reshape(lead)
     return o[:n, 0].reshape(lead)
 
   outs = list(_make_op(cfg)(
