@@ -599,8 +599,12 @@ class MLP(nn.Module):
           # backward's live activation set; at block 512 the v5e scoped
           # VMEM stack overflows (measured 28.5M vs the 16M limit), so the
           # dir stage drops to half-block when those extras are fused.
-          dir_block = self._block() // 2 if (fuse_ide or self.fuse_dir_rgb) \
-              else self._block()
+          # An explicit user fused_block is respected as-is (only the
+          # auto-selected default is halved), so a tuned setting is never
+          # silently overridden into an illegal sub-8-sublane tile.
+          dir_block = self._block()
+          if (fuse_ide or self.fuse_dir_rgb) and not self.fused_block:
+            dir_block = max(8, dir_block // 2)
           outs = fused_mlp.fused_trunk(
               x, ks, bs, head_f32=(rp['kernel'], rp['bias']), out_y=False,
               skip_period=self.skip_layer, needs_dx=True,

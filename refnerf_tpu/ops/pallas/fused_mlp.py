@@ -148,9 +148,20 @@ def skip_input_layers(depth: int, skip_period: int) -> Tuple[int, ...]:
                if i % skip_period == 0 and 0 < i and i + 1 < depth)
 
 
-def _dot(a, b, dims):
+def _dot(a, b, dims, precision=None):
   return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
+
+
+def _dot_exact(a, b, dims):
+  """f32-exact dot for the epilogue's mask/regroup matmuls.
+
+  Default MXU precision truncates f32 operands to bf16 per pass; the
+  compositing prefix/suffix sums and the one-hot regroup claim bitwise
+  f32 exactness, so they must run at HIGHEST (full f32 multi-pass).
+  """
+  return _dot(a, b, dims, precision=jax.lax.Precision.HIGHEST)
 
 
 def _mask(a):
@@ -253,7 +264,8 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
     d['sg'] = rr.take()        # (1, P) f32 vMF attenuation sigmas
     d['gm'] = rr.take()        # (l_max+1, P) {0,1} power-gather matrix
   if cfg.weights:
-    d['delta'] = rr.take()     # (rays, S) f32 per-sample t-interval * |dir|
+    d['delta'] = rr.take()     # (block, 1) f32 per-sample t-interval * |dir|
+                               # column (ray-major, samples-minor)
     d['bsig'] = rr.take()      # (1, 1) f32 density-head + activation bias
   if cfg.rgbe:
     d['rawd'] = rr.take()      # (blk, 3) f32 raw diffuse color
@@ -465,7 +477,7 @@ def _tile_to_col(cfg: TrunkCfg, t):
   rows = jax.lax.broadcasted_iota(jnp.int32, (cfg.block, r), 0)
   ray = jax.lax.broadcasted_iota(jnp.int32, (cfg.block, r), 1)
   pick = jnp.where(rows // s == ray, jnp.float32(1), jnp.float32(0))
-  exp = _dot(pick, t, ((1,), (0,)))  # [block, S]
+  exp = _dot_exact(pick, t, ((1,), (0,)))  # [block, S]
   lane = jax.lax.broadcasted_iota(jnp.int32, (cfg.block, s), 1)
   rpos = jax.lax.broadcasted_iota(jnp.int32, (cfg.block, s), 0) % s
   return jnp.sum(jnp.where(lane == rpos, exp, 0.0), axis=-1, keepdims=True)
@@ -486,7 +498,7 @@ def _epilogue_fwd(cfg: TrunkCfg, d, sig_raw):
   # delta moves as a [block, 1] column (any block is a legal tiling);
   # the column->tile regroup is the Mosaic-supported reshape direction.
   dd = sigma * d['delta'][:].reshape(cfg.block // s, s)
-  excl = _dot(dd, _scan_mask(cfg), ((1,), (1,)))
+  excl = _dot_exact(dd, _scan_mask(cfg), ((1,), (1,)))
   trans = jnp.exp(-excl)
   alpha = 1.0 - jnp.exp(-dd)
   return alpha * trans, trans, dd, sigma, raw_t
@@ -705,7 +717,7 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
       # Cotangents arrive as [block, 1] columns; column->tile is the
       # supported reshape direction, tile->column goes via _tile_to_col.
       wbar = wbar_ref[:].reshape(cfg.block // s, s)
-      suffix = _dot(wbar * w, _scan_mask(cfg), ((1,), (0,)))
+      suffix = _dot_exact(wbar * w, _scan_mask(cfg), ((1,), (0,)))
       ct_raw = ((wbar * (trans - w) - suffix)
                 * d['delta'][:].reshape(cfg.block // s, s)
                 * jax.nn.sigmoid(raw_t))
