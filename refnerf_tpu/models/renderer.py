@@ -8,6 +8,7 @@ device mesh, tiling a frame over the slice.
 
 from __future__ import annotations
 
+import collections
 from typing import Any, Callable, Dict, Optional
 
 import jax
@@ -103,8 +104,19 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
 # train_frac are traced ARGUMENTS, so periodic validation during training
 # (new params + new train_frac each call) reuses the compiled executable
 # instead of re-jitting - and the weights are not baked into the program as
-# constants. Keyed by id(model) with the model kept alive by the value.
-_RENDER_PROGRAMS: Dict[Any, Callable] = {}
+# constants. Keyed by id(model); the value strongly holds the model, which
+# pins the id against reuse for as long as the entry lives. Bounded LRU
+# (training holds one model; eval/render at most a couple), so stale
+# models/executables are evicted instead of accumulating for the process
+# lifetime. An evicted model whose id is later reused simply recompiles.
+_RENDER_PROGRAMS: "collections.OrderedDict[Any, Any]" = (
+    collections.OrderedDict())
+_RENDER_PROGRAMS_MAX = 4
+
+
+def clear_render_programs() -> None:
+  """Drop every cached render executable (and its pinned model)."""
+  _RENDER_PROGRAMS.clear()
 
 
 def make_render_fn(model, params, train_frac: float = 1.0,
@@ -117,6 +129,10 @@ def make_render_fn(model, params, train_frac: float = 1.0,
       return model.apply({'params': params}, rays, train_frac=train_frac,
                          compute_extras=compute_extras, train=False)
     _RENDER_PROGRAMS[key] = (model, jax.jit(apply_fn))
+    while len(_RENDER_PROGRAMS) > _RENDER_PROGRAMS_MAX:
+      _RENDER_PROGRAMS.popitem(last=False)
+  else:
+    _RENDER_PROGRAMS.move_to_end(key)
   _, jitted = _RENDER_PROGRAMS[key]
   train_frac = jnp.float32(train_frac)
   return lambda rays: jitted(params, rays, train_frac)

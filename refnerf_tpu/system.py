@@ -109,6 +109,7 @@ class NeRFSystem:
     self.mesh = mesh_lib.create_mesh() if jax.device_count() > 1 else None
     self.total_time = 0
     self.total_steps = 0
+    self._warned_eval_mesh = False
 
     self.train_dataset = None
     self.val_dataset = None
@@ -139,9 +140,20 @@ class NeRFSystem:
   def _eval_mesh(self):
     """Shard full-image render chunks across the mesh (frame tiling over
     the slice) when the chunk divides evenly; single-device otherwise."""
-    if (self.mesh is not None and self.config.render_chunk_size
-        % self.mesh.shape[mesh_lib.DATA_AXIS] == 0):
+    if self.mesh is None:
+      return None
+    n = self.mesh.shape[mesh_lib.DATA_AXIS]
+    if self.config.render_chunk_size % n == 0:
       return self.mesh
+    if n > 1 and not self._warned_eval_mesh:
+      # Same silent-degradation class the fused-trunk fallbacks warn on:
+      # a multi-device host quietly rendering eval frames on one device.
+      self._warned_eval_mesh = True
+      print(f'WARNING: render_chunk_size={self.config.render_chunk_size} '
+            f'does not divide across the {n}-device data axis; eval/render '
+            f'frames fall back to a single device. Set render_chunk_size '
+            f'to a multiple of {n} to tile frames over the slice.',
+            file=sys.stderr, flush=True)
     return None
 
   def train_frac(self, step):

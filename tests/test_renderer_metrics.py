@@ -126,10 +126,13 @@ def test_make_render_fn_reuses_compiled_program():
   model = construct.construct_model(config, gin)
   params = construct.init_params(jax.random.PRNGKey(0), model)
 
-  before = len(renderer._RENDER_PROGRAMS)
+  renderer.clear_render_programs()
   fn1 = renderer.make_render_fn(model, params, train_frac=0.25)
   fn2 = renderer.make_render_fn(model, params, train_frac=0.75)
-  assert len(renderer._RENDER_PROGRAMS) == before + 1
+  # One entry for this (model, extras) pair, shared by both train_fracs,
+  # regardless of what other tests left in the (bounded LRU) cache.
+  assert len(renderer._RENDER_PROGRAMS) == 1
+  assert (id(model), True) in renderer._RENDER_PROGRAMS
 
   rays = _image_rays(4, 8)
   out1 = renderer.render_image(fn1, rays, config,

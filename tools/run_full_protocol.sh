@@ -5,7 +5,7 @@
 #   2. blender_refnerf.gin training >= 25k steps with checkpoint/val cadence,
 #   3. the real eval.py (quantize, color-correct, showcases, avg_metrics.txt),
 #   4. the real render.py (full test-path frames + videos),
-#   5. wall-clock per phase + metrics recorded to PROTOCOL_r03.json.
+#   5. wall-clock per phase + metrics recorded to PROTOCOL_r04.json.
 # Matches the pipeline shape of reference nerf_system.py:377-465 at the
 # published scale (README.md:34-44); quality floors are pinned in
 # tests/test_protocol_floors.py.
@@ -18,7 +18,7 @@ EXP_ROOT="${EXP_ROOT:-/tmp/refnerf_bench/exp}"
 STEPS="${STEPS:-25000}"
 BATCH="${BATCH:-4096}"
 EVAL_LIMIT="${EVAL_LIMIT:-200}"
-RESULT="${RESULT:-$ROOT/PROTOCOL_r03.json}"
+RESULT="${RESULT:-$ROOT/PROTOCOL_r04.json}"
 
 cd "$ROOT"
 
@@ -89,6 +89,13 @@ out = {
     'render_seconds': int(t_render),
     'train_rays_per_sec': rays_per_sec,
     'metrics': metrics,
+    'cc_note': ('cc_psnr/cc_ssim inherit the reference color_correct saturation '
+                'pathology on white-background scenes (the lstsq extrapolates '
+                'saturated pixels out of gamut; parity-pinned bit-for-bit in '
+                'tests/test_reference_parity.py::'
+                'test_color_correct_parity_including_saturation_pathology '
+                'vs reference internal/image.py:84-127); the uncorrected psnr/'
+                'ssim are the headline metrics'),
 }
 with open(result, 'w') as f:
     json.dump(out, f, indent=1)
