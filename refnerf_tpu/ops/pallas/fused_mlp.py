@@ -434,8 +434,13 @@ def _ide_bwd(cfg: TrunkCfg, d, aux, g_re, g_im):
   d_re_st = _dot(g_re * zpat, d['gm'][:], ((1,), (1,)))
   d_im_st = _dot(g_im * zpat, d['gm'][:], ((1,), (1,)))
   # Shifted stacks (col m holds power m-1; col 0 is zero) x the power index.
-  # Mosaic's tpu.iota is integer-only; build int32 then convert.
-  mar = jax.lax.broadcasted_iota(jnp.int32, (1, lm1), 1).astype(jnp.float32)
+  # Mosaic's tpu.iota is integer-only, and its canonicalizer folds
+  # convert(int-iota) straight back into an (illegal) f32 tpu.iota - so the
+  # f32 ramp [0, 1, ..., lm1-1] is built convert-free from scalar-constant
+  # FMAs over one-hot rows (the _cols_to_stack idiom; lm1 <= 17).
+  mar = jnp.zeros((1, lm1), jnp.float32)
+  for m in range(1, lm1):
+    mar = mar + jnp.float32(m) * _onehot_row(m, lm1)
   zero = jnp.zeros_like(vmz_cols[0])
   vmz_s = _cols_to_stack([zero] + vmz_cols[:-1])
   re_s = _cols_to_stack([zero] + re_cols[:-1])
