@@ -21,8 +21,13 @@ from refnerf_tpu.data import colmap  # noqa: E402
 from tools.make_sphere_scene import SPHERE_RADIUS  # noqa: E402
 
 
-def render_view_opencv(c2w_opencv, res, focal):
-  """Exact sphere render for an OpenCV-convention (z forward) camera."""
+def render_view_opencv(c2w_opencv, res, focal, specular=False):
+  """Exact sphere render for an OpenCV-convention (z forward) camera.
+
+  With specular=True, mixes in the mirror-reflection environment radiance
+  from make_shiny_scene (Phong lobes) - the view-dependent radiance family
+  Ref-NeRF's consistency losses target in the few-shot regime.
+  """
   xs, ys = np.meshgrid(np.arange(res) + 0.5, np.arange(res) + 0.5,
                        indexing='xy')
   dirs_cam = np.stack([(xs - res / 2) / focal, (ys - res / 2) / focal,
@@ -35,14 +40,22 @@ def render_view_opencv(c2w_opencv, res, focal):
   c = origin @ origin - SPHERE_RADIUS ** 2
   disc = b ** 2 - 4 * c
   hit = disc > 0
-  t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, np.inf)
+  # Misses get t=0 (not inf) so pts/normals stay finite; their shading is
+  # masked out by the `hit` select below anyway.
+  t = np.where(hit, (-b - np.sqrt(np.maximum(disc, 0))) / 2, 0.0)
 
   pts = origin + t[..., None] * dirs
-  normals = pts / SPHERE_RADIUS
+  normals = np.where(hit[..., None], pts / SPHERE_RADIUS, 1.0)
   albedo = 0.5 + 0.5 * normals
   light = np.array([0.58, 0.58, 0.58])
   lambert = np.clip(normals @ light, 0.1, 1.0)[..., None]
-  rgb = np.where(hit[..., None], albedo * lambert, 1.0)
+  shade = albedo * lambert
+  if specular:
+    from tools.make_shiny_scene import (_DIFFUSE_WEIGHT, _SPECULAR_WEIGHT,
+                                        env_radiance)
+    refl = dirs - 2.0 * (dirs * normals).sum(-1, keepdims=True) * normals
+    shade = _DIFFUSE_WEIGHT * shade + _SPECULAR_WEIGHT * env_radiance(refl)
+  rgb = np.where(hit[..., None], shade, 1.0)
   return np.clip(rgb, 0, 1)
 
 
@@ -53,7 +66,7 @@ def _quat_from_rotmat(r):
                    (r[1, 0] - r[0, 1]) / (4 * w)])
 
 
-def make_scene(root, n_images=12, res=64):
+def make_scene(root, n_images=12, res=64, specular=False):
   img_dir = os.path.join(root, 'images')
   os.makedirs(img_dir, exist_ok=True)
   focal = res * 1.2
@@ -68,7 +81,7 @@ def make_scene(root, n_images=12, res=64):
     ty = 0.25 * (i // 4 - 1.0)
     c2w = np.eye(4)
     c2w[:3, 3] = [tx, ty, -4.0]
-    rgb = render_view_opencv(c2w, res, focal)
+    rgb = render_view_opencv(c2w, res, focal, specular=specular)
     name = f'img_{i:03d}.png'
     Image.fromarray((rgb * 255).astype(np.uint8)).save(
         os.path.join(img_dir, name))

@@ -21,11 +21,13 @@ cd "$ROOT"
 mkdir -p /tmp/refnerf_geo
 
 if [ ! -f "$SCENE/poses_bounds.npy" ]; then
-  echo "== generating forward-facing scene (24 views, 256^2) =="
-  python - "$SCENE" <<'EOF'
+  echo "== generating forward-facing scene (24 views, 256^2, specular=${SPECULAR:-0}) =="
+  SPECULAR="${SPECULAR:-0}" python - "$SCENE" <<'EOF'
+import os
 import sys
 from tools.make_sphere_llff_scene import make_scene
-make_scene(sys.argv[1], n_images=24, res=256)
+make_scene(sys.argv[1], n_images=24, res=256,
+           specular=os.environ.get('SPECULAR', '0') == '1')
 print('scene ok')
 EOF
 fi
