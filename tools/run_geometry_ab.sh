@@ -7,7 +7,8 @@
 # held-out views for both arms. Writes GEOMETRY_r04.json with PSNR/SSIM
 # per arm.
 #
-# Env overrides: SCENE, EXP_ROOT, STEPS, BATCH, VIEWS, RESULT.
+# Env overrides: SCENE, EXP_ROOT, STEPS, BATCH, VIEWS, RESULT, LOGDIR,
+# SPECULAR (1 = glossy variant of the analytic scene).
 set -u
 ROOT="$(cd "$(dirname "$0")/.." && pwd)"
 SCENE="${SCENE:-/tmp/refnerf_geo/scene}"
@@ -16,9 +17,10 @@ STEPS="${STEPS:-20000}"
 BATCH="${BATCH:-4096}"
 VIEWS="${VIEWS:-6}"
 RESULT="${RESULT:-$ROOT/GEOMETRY_r04.json}"
+LOGDIR="${LOGDIR:-/tmp/refnerf_geo}"
 
 cd "$ROOT"
-mkdir -p /tmp/refnerf_geo
+mkdir -p "$LOGDIR"
 
 if [ ! -f "$SCENE/poses_bounds.npy" ]; then
   echo "== generating forward-facing scene (24 views, 256^2, specular=${SPECULAR:-0}) =="
@@ -89,21 +91,21 @@ for arm in geo_on geo_off; do
   t0=$(date +%s)
   python train.py "${COMMON[@]}" \
     --gin_bindings="Config.exp_name = '$arm'" "${EXTRA[@]}" \
-    2>&1 | tee "/tmp/refnerf_geo/train_$arm.log" | tail -5
+    2>&1 | tee "$LOGDIR/train_$arm.log" | tail -5
   t1=$(date +%s)
   WALL[$arm.train]=$((t1 - t0))
   echo "== eval $arm (held-out views) =="
   python eval.py "${COMMON[@]}" \
     --gin_bindings="Config.exp_name = '$arm'" "${EXTRA[@]}" \
-    2>&1 | tee "/tmp/refnerf_geo/eval_$arm.log" | tail -5
+    2>&1 | tee "$LOGDIR/eval_$arm.log" | tail -5
   t2=$(date +%s)
   WALL[$arm.eval]=$((t2 - t1))
 done
 
 python - "$EXP_ROOT" "$RESULT" "$STEPS" "$VIEWS" \
-    "${WALL[geo_on.train]}" "${WALL[geo_off.train]}" <<'EOF'
+    "${WALL[geo_on.train]}" "${WALL[geo_off.train]}" "${SPECULAR:-0}" <<'EOF'
 import json, os, sys
-exp_root, result, steps, views, t_on, t_off = sys.argv[1:7]
+exp_root, result, steps, views, t_on, t_off, specular = sys.argv[1:8]
 
 def arm_metrics(arm):
     # Experiment layout: <ckpt>/ckpt/<exp-prefix>/<exp> (checkpoints.py:21).
@@ -125,6 +127,7 @@ out = {
                  'forward-facing scene (24 views, 256^2, llffhold=8 test '
                  'split), llff_refnerf_geometry_losses.gin vs identical '
                  'schedule with all consistency/opacity regularizers off'),
+    'specular_scene': specular == '1',
     'geo_on': on,
     'geo_off': off,
     'train_seconds': {'geo_on': int(t_on), 'geo_off': int(t_off)},
