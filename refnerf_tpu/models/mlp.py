@@ -533,7 +533,7 @@ class MLP(nn.Module):
           _warn_fused_fallback(
               'fuse_dir_geo inactive',
               'needs fuse_dir_enc + reflections + n_dot_v + pred normals')
-        enc_dirs = None
+        enc_dirs = dir_enc = None
         if fuse_geo:
           pass  # geometry happens in-kernel
         elif self.use_reflections:
@@ -559,8 +559,19 @@ class MLP(nn.Module):
           dir_enc = jnp.broadcast_to(
               dir_enc[..., None, :],
               means.shape[:-1] + (dir_enc.shape[-1],))
+        if dir_enc is not None:
+          # Emit the encoding in compute dtype at its producer: the cast
+          # fuses into the IDE's final multiply, so the [.., 2P] tensor,
+          # its flatten relayout, and its backward cotangent all move
+          # through HBM at half width in bf16 mode. The trunk kernel casts
+          # segments to compute dtype anyway - same trunk input values.
+          dir_enc = dir_enc.astype(self.compute_dtype)
 
         ide_at = len(x)
+        dotprod = None
+        if self.use_n_dot_v and not fuse_geo:
+          dotprod = jnp.sum(
+              normals_to_use * viewdirs[..., None, :], axis=-1, keepdims=True)
         if fuse_ide:
           kappa_inv = (roughness if self.enable_pred_roughness
                        else jnp.zeros_like(means[..., :1]))
@@ -570,12 +581,19 @@ class MLP(nn.Module):
             x.append((flat(grad_pred), flat(vb), flat(kappa_inv)))
           else:
             x.append((flat(enc_dirs), flat(kappa_inv)))
+        elif fused_dir and dotprod is not None:
+          # n.v rides as one extra plane on the encoding segment: a
+          # standalone flat [N, 1] segment tiles T(8,128) at 128x physical
+          # padding and pays a ~0.4 ms relayout copy each way per step
+          # (batch 4096, v5e), while one more plane on the [.., 2P]
+          # encoding is near-free. Same trunk input rows either way.
+          x.append(flat(jnp.concatenate(
+              [dir_enc, dotprod.astype(dir_enc.dtype)], axis=-1)))
+          dotprod = None
         else:
           x.append(flat(dir_enc))
 
-        if self.use_n_dot_v and not fuse_geo:
-          dotprod = jnp.sum(
-              normals_to_use * viewdirs[..., None, :], axis=-1, keepdims=True)
+        if dotprod is not None:
           x.append(flat(dotprod))
 
         if fused_dir:

@@ -136,6 +136,13 @@ class TrunkCfg(NamedTuple):
                     # refdirs = reflect(-viewdirs, n), and fills the
                     # trailing width-1 n.v segment. Backward via jax.vjp
                     # on the same chain (exact XLA-AD semantics).
+  h_t: bool = False  # f32 head output leaves feature-major [h_f32, N]: a
+                    # narrow [N, h] row-major output tiles T(8,128) at
+                    # 128/h x physical padding in HBM and its consumers
+                    # relayout to feature planes anyway (~0.4 ms/copy at
+                    # batch 4096x128 on v5e); [h, N] is dense and the
+                    # plane reshape is free. Incompatible with rgbe (which
+                    # consumes the row-major head in-kernel).
 
 
 def skip_input_layers(depth: int, skip_period: int) -> Tuple[int, ...]:
@@ -253,7 +260,7 @@ def _parse_inputs(cfg: TrunkCfg, rr: _Refs):
     d['wd'] = rr.take()        # (1, width) f32
   if cfg.h_f32:
     d['wh'] = rr.take()        # (width, h_f32) f32
-    d['bh'] = rr.take()        # (1, h_f32) f32
+    d['bh'] = rr.take()        # (1, h_f32) f32; (h_f32, 1) when cfg.h_t
   if cfg.h_cdt:
     d['wc'] = rr.take()        # (width, h_cdt) cdt
     d['bc'] = rr.take()        # (1, h_cdt) cdt
@@ -630,10 +637,14 @@ def _fwd_kernel(cfg: TrunkCfg, *refs):
       # Mosaic shape cast, so it runs through _tile_to_col.
       w_ref[:] = _tile_to_col(cfg, _epilogue_fwd(cfg, d, sig_raw)[0])
   if cfg.h_f32:
-    hval = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
-    h_ref[:] = hval
-    if cfg.rgbe:
-      rgb_ref[:] = _rgb_epilogue(cfg, hval, d['rawd'][:], d['rawt'][:])
+    if cfg.h_t:
+      # Feature-major store: [h, block] tile of the dense [h, N] output.
+      h_ref[:] = _dot(d['wh'][:], y32, ((0,), (1,))) + d['bh'][:]
+    else:
+      hval = _dot(y32, d['wh'][:], ((1,), (0,))) + d['bh'][:]
+      h_ref[:] = hval
+      if cfg.rgbe:
+        rgb_ref[:] = _rgb_epilogue(cfg, hval, d['rawd'][:], d['rawt'][:])
   if cfg.h_cdt:
     c_ref[:] = (_dot(y, d['wc'][:], ((1,), (0,))).astype(cdt)
                 + d['bc'][:].astype(cdt))
@@ -730,7 +741,13 @@ def _bwd_kernel(cfg: TrunkCfg, *refs):
       dbsig_ref[:] += jnp.sum(ct_raw, keepdims=True)
     g32 = sbar * d['wd'][:]
     dwd_ref[:] += _dot(sbar, y32, ((0,), (0,)))
-  if cfg.h_f32:
+  if cfg.h_f32 and cfg.h_t:
+    hbar_t = hbar_ref[:]  # [h, block] tile of the feature-major cotangent
+    back = _dot(hbar_t, d['wh'][:], ((0,), (1,)))
+    g32 = back if g32 is None else g32 + back
+    dwh_ref[:] += _dot(y32, hbar_t, ((0,), (1,)))
+    dbh_ref[:] += jnp.sum(hbar_t, axis=1, keepdims=True)
+  elif cfg.h_f32:
     hbar = hbar_ref[:]
     if cfg.rgbe:
       # Pull the final-rgb cotangent back through the color epilogue onto
@@ -840,6 +857,11 @@ def _row_spec(blk, ncol):
   return pl.BlockSpec((blk, ncol), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
 
+def _lane_spec(nrow, blk):
+  """Feature-major [nrow, N] arrays blocked along the lane (N) axis."""
+  return pl.BlockSpec((nrow, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
 def _full_spec(shape):
   return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                       memory_space=pltpu.VMEM)
@@ -882,7 +904,8 @@ def _make_op(cfg: TrunkCfg):
       args.append(wd); specs.append(_full_spec((1, W)))
     if cfg.h_f32:
       args += [wh, bh]
-      specs += [_full_spec((W, cfg.h_f32)), _full_spec((1, cfg.h_f32))]
+      specs += [_full_spec((W, cfg.h_f32)),
+                _full_spec((cfg.h_f32, 1) if cfg.h_t else (1, cfg.h_f32))]
     if cfg.h_cdt:
       args += [_cast(wc), _cast(bc)]
       specs += [_full_spec((W, cfg.h_cdt)), _full_spec((1, cfg.h_cdt))]
@@ -926,8 +949,10 @@ def _make_op(cfg: TrunkCfg):
       out_shape.append(jax.ShapeDtypeStruct(_col_shape(b), jnp.float32))
       out_specs.append(_row_spec(col_rows, col_cols))
     if cfg.h_f32:
-      out_shape.append(jax.ShapeDtypeStruct((b, cfg.h_f32), jnp.float32))
-      out_specs.append(_row_spec(cfg.block, cfg.h_f32))
+      hs = (cfg.h_f32, b) if cfg.h_t else (b, cfg.h_f32)
+      out_shape.append(jax.ShapeDtypeStruct(hs, jnp.float32))
+      out_specs.append(_lane_spec(cfg.h_f32, cfg.block) if cfg.h_t
+                       else _row_spec(cfg.block, cfg.h_f32))
     if cfg.h_cdt:
       out_shape.append(jax.ShapeDtypeStruct((b, cfg.h_cdt), cdt))
       out_specs.append(_row_spec(cfg.block, cfg.h_cdt))
@@ -973,9 +998,10 @@ def _make_op(cfg: TrunkCfg):
       out_shape.append(jax.ShapeDtypeStruct((1, W), jnp.float32))
       out_specs.append(_full_spec((1, W)))
     if cfg.h_f32:
+      dbh_sh = (cfg.h_f32, 1) if cfg.h_t else (1, cfg.h_f32)
       out_shape += [jax.ShapeDtypeStruct((W, cfg.h_f32), jnp.float32),
-                    jax.ShapeDtypeStruct((1, cfg.h_f32), jnp.float32)]
-      out_specs += [_full_spec((W, cfg.h_f32)), _full_spec((1, cfg.h_f32))]
+                    jax.ShapeDtypeStruct(dbh_sh, jnp.float32)]
+      out_specs += [_full_spec((W, cfg.h_f32)), _full_spec(dbh_sh)]
     if cfg.h_cdt:
       out_shape += [jax.ShapeDtypeStruct((W, cfg.h_cdt), jnp.float32),
                     jax.ShapeDtypeStruct((1, cfg.h_cdt), jnp.float32)]
@@ -1005,7 +1031,8 @@ def _make_op(cfg: TrunkCfg):
     if cfg.density:
       cot_specs.append(_row_spec(col_rows, col_cols))
     if cfg.h_f32:
-      cot_specs.append(_row_spec(cfg.block, cfg.h_f32))
+      cot_specs.append(_lane_spec(cfg.h_f32, cfg.block) if cfg.h_t
+                       else _row_spec(cfg.block, cfg.h_f32))
     if cfg.h_cdt:
       cot_specs.append(_row_spec(cfg.block, cfg.h_cdt))
     for ud in u_dims:
@@ -1236,12 +1263,15 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
                    rgbe_premult=float(rgb_epilogue[2]),
                    rgbe_bias=float(rgb_epilogue[3]),
                    rgbe_pad=float(rgb_epilogue[4]))
+  h_t = wh is not None and rgb_epilogue is None
+  if h_t:
+    bh = bh.reshape(-1, 1)
   cfg = TrunkCfg(
       depth=depth, width=width, seg_dims=seg_dims,
       skip_inputs=skip_input_layers(depth, skip_period),
       encode=False, uproj=0, density=wd is not None,
       density_grad=density_grad and wd is not None, needs_dx=needs_dx,
-      h_f32=0 if wh is None else wh.shape[-1],
+      h_f32=0 if wh is None else wh.shape[-1], h_t=h_t,
       h_cdt=0 if wc is None else wc.shape[-1],
       out_y=out_y, cdt=compute_dtype, block=block,
       interpret=bool(interpret),
@@ -1268,7 +1298,12 @@ def fused_trunk(x, kernels, biases, wd=None, bd=None, *,
     sig = outs.pop(0)[:n, 0].reshape(lead)
     res.append(sig + (0.0 if bd is None else bd.astype(jnp.float32)[0]))
   if cfg.h_f32:
-    res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_f32))
+    # h_t: the dense [h, N] output transposes back at this boundary; XLA's
+    # layout assignment folds the transpose into the consumers' preferred
+    # feature-plane layout instead of materializing the padded [N, h].
+    res.append(jnp.moveaxis(
+        outs.pop(0)[:, :n].reshape((cfg.h_f32,) + lead), 0, -1) if cfg.h_t
+        else outs.pop(0)[:n].reshape(*lead, cfg.h_f32))
   if cfg.h_cdt:
     res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_cdt))
   if cfg.density_grad:
@@ -1345,12 +1380,15 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
       raise ValueError(
           f'fused compositing needs block % samples == 0, got '
           f'{block} % {samples}')
+  h_t = wh is not None
+  if h_t:
+    bh = bh.reshape(-1, 1)
   cfg = TrunkCfg(
       depth=depth, width=width, seg_dims=(F, F),
       skip_inputs=skip_input_layers(depth, skip_period),
       encode=in_kernel_trig, uproj=nb, density=wd is not None,
       density_grad=density_grad and wd is not None, needs_dx=False,
-      h_f32=0 if wh is None else wh.shape[-1],
+      h_f32=0 if wh is None else wh.shape[-1], h_t=h_t,
       h_cdt=0 if wc is None else wc.shape[-1],
       out_y=out_y, cdt=compute_dtype, block=block,
       interpret=bool(interpret), weights=samples)
@@ -1421,7 +1459,10 @@ def fused_encoded_trunk(lm, lv, scales, kernels, biases, wd, bd=None, *,
     sig = _col_out(outs.pop(0))
     res.append(sig + (0.0 if bd is None else bd.astype(jnp.float32)[0]))
   if cfg.h_f32:
-    res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_f32))
+    # See fused_trunk: dense [h, N] store, transposed back at the boundary.
+    res.append(jnp.moveaxis(
+        outs.pop(0)[:, :n].reshape((cfg.h_f32,) + lead), 0, -1) if cfg.h_t
+        else outs.pop(0)[:n].reshape(*lead, cfg.h_f32))
   if cfg.h_cdt:
     res.append(outs.pop(0)[:n].reshape(*lead, cfg.h_cdt))
   if cfg.density_grad:
