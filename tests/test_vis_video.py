@@ -16,8 +16,13 @@ def test_write_video_fallback_or_ffmpeg(tmp_path):
   assert os.path.exists(path) or os.path.exists(str(tmp_path / 'out.gif'))
 
 
-@pytest.mark.skipif(not __import__('shutil').which('ffmpeg'),
-                    reason='ffmpeg not installed')
+@pytest.mark.skipif(
+    not __import__('shutil').which('ffmpeg'),
+    reason='env-structural: no ffmpeg binary in this image and no egress to '
+           'install one (same class of block as the LPIPS VGG weights). The '
+           'mp4 tier is still covered on such images by '
+           'test_write_video_cv2_mp4_decodable below; this test exists so '
+           'the h264 path is exercised wherever ffmpeg does exist.')
 def test_write_video_h264_decodable(tmp_path):
   """The h264 path produces a decodable mp4 with every frame intact.
 
@@ -40,6 +45,44 @@ def test_write_video_h264_decodable(tmp_path):
   assert len(out.stdout) == n * eh * ew * 3
 
 
+def test_write_video_cv2_mp4_decodable(tmp_path, monkeypatch):
+  """The OpenCV mp4v tier (the best encoder on ffmpeg-less images like this
+  one) produces a seekable mp4 whose frames decode back with the right
+  count and padded-even geometry."""
+  cv2 = pytest.importorskip('cv2')
+
+  monkeypatch.setattr(vis_lib.shutil, 'which', lambda *_: None)  # skip ffmpeg
+  rng = np.random.RandomState(0)
+  n, h, w = 7, 33, 47  # odd on purpose: exercises the even-padding
+  frames = [rng.randint(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+  path = str(tmp_path / 'out.mp4')
+  vis_lib._write_video(path, frames, fps=10, crf=18)
+  if not os.path.exists(path):
+    pytest.skip('cv2 present but its FFMPEG backend cannot encode mp4v here')
+  assert os.path.getsize(path) > 0
+  cap = cv2.VideoCapture(path)
+  decoded = []
+  while True:
+    ok, frame = cap.read()
+    if not ok:
+      break
+    decoded.append(frame)
+  cap.release()
+  eh, ew = h + h % 2, w + w % 2
+  assert len(decoded) == n
+  assert all(f.shape == (eh, ew, 3) for f in decoded)
+  # mp4v is lossy: check content approximately on a smooth ramp instead.
+  ramp = [np.full((h, w, 3), i * 30, np.uint8) for i in range(n)]
+  path2 = str(tmp_path / 'ramp.mp4')
+  vis_lib._write_video(path2, ramp, fps=10, crf=18)
+  cap = cv2.VideoCapture(path2)
+  for i in range(n):
+    ok, frame = cap.read()
+    assert ok
+    assert abs(float(frame[:h, :w].mean()) - i * 30) < 8.0
+  cap.release()
+
+
 def test_write_video_gif_fallback_decodes_back(tmp_path, monkeypatch):
   """The GIF fallback produces a byte-level-verifiable animation: every
   frame decodes back with the right geometry, count, timing and (for
@@ -47,8 +90,9 @@ def test_write_video_gif_fallback_decodes_back(tmp_path, monkeypatch):
   analog of the h264 decode-back check above)."""
   from PIL import Image, ImageSequence
 
-  # Force the fallback even on ffmpeg-equipped machines.
+  # Force the last-resort tier even on ffmpeg/cv2-equipped machines.
   monkeypatch.setattr(vis_lib.shutil, 'which', lambda *_: None)
+  monkeypatch.setattr(vis_lib, '_cv2_video_writer', lambda *a, **k: False)
 
   n, h, w = 6, 33, 47  # odd on purpose: exercises the even-padding
   # Solid-color frames survive GIF's 256-color palette exactly.
