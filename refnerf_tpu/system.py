@@ -83,6 +83,53 @@ class _FramePipeline:
     return out
 
 
+class _BatchLookahead:
+  """One-ahead ray-batch builder on a worker thread.
+
+  Building a full-image ray batch (camera cast over 800x800 = 640K pixels,
+  plus the gt-image gather) costs host seconds per frame; done inline it
+  sits on the frame critical path between device renders. This iterator
+  runs the builder on a single worker thread, one frame ahead of
+  consumption, so frame i+1's rays are ready the moment frame i's render
+  returns. One worker + depth-1 lookahead preserves order (the builders
+  may be stateful, e.g. `next(dataset)`) and bounds extra memory to one
+  in-flight batch.
+  """
+
+  def __init__(self, make_batch, keys, depth: int = 1):
+    import collections
+    import concurrent.futures
+    self._fn = make_batch
+    self._keys = iter(keys)
+    self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    self._pending = collections.deque()
+    for _ in range(depth + 1):
+      self._advance()
+
+  def _advance(self):
+    try:
+      key = next(self._keys)
+    except StopIteration:
+      return
+    self._pending.append(self._pool.submit(self._fn, key))
+
+  def __iter__(self):
+    return self
+
+  def __next__(self):
+    if not self._pending:
+      self._pool.shutdown()
+      raise StopIteration
+    fut = self._pending.popleft()
+    try:
+      out = fut.result()
+    except Exception:
+      self._pool.shutdown(wait=False)
+      raise
+    self._advance()
+    return out
+
+
 def _flatten_stats(stats, prefix=''):
   out = {}
   for k, v in stats.items():
@@ -438,8 +485,9 @@ class NeRFSystem:
       return metric, metric_cc
 
     pipeline = _FramePipeline()
-    for idx in range(num_eval):
-      batch = next(self.val_dataset)
+    batches = _BatchLookahead(
+        lambda _: next(self.val_dataset), range(num_eval))
+    for idx, batch in enumerate(batches):
       eval_start = time.time()
       rendering = renderer_lib.render_image(
           render_fn, batch.rays, config, mesh=self._eval_mesh())
@@ -532,20 +580,27 @@ class NeRFSystem:
                            path_fn(f'rho_{idx_str}.png'),
                            mask=rendering['acc'])
 
-    pipeline = _FramePipeline()
+    todo = []
     for idx in range(dataset.size):
       if idx % config.render_num_jobs != config.render_job_id:
         continue
-      idx_str = idx_to_str(idx)
-      curr_file = path_fn(f'color_{idx_str}.png')
-      next_idx_str = idx_to_str(idx + config.render_num_jobs)
-      next_file = path_fn(f'color_{next_idx_str}.png')
+      # Resume: a frame counts as done only when the NEXT one exists too
+      # (its presence proves this one finished writing before the
+      # interruption), same as the reference's strided-resume check.
+      curr_file = path_fn(f'color_{idx_to_str(idx)}.png')
+      next_file = path_fn(
+          f'color_{idx_to_str(idx + config.render_num_jobs)}.png')
       if os.path.exists(curr_file) and os.path.exists(next_file):
         print(f'Image {idx}/{dataset.size} already exists, skipping')
         continue
+      todo.append(idx)
+
+    pipeline = _FramePipeline()
+    batches = _BatchLookahead(dataset.generate_ray_batch, todo)
+    for idx, batch in zip(todo, batches):
+      idx_str = idx_to_str(idx)
       print(f'Evaluating image {idx + 1}/{dataset.size}')
       eval_start = time.time()
-      batch = dataset.generate_ray_batch(idx)
       rendering = renderer_lib.render_image(
           render_fn, batch.rays, config, mesh=self._eval_mesh())
       print(f'Rendered in {time.time() - eval_start:0.3f}s')
