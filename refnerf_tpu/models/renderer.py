@@ -21,7 +21,7 @@ from refnerf_tpu.parallel import mesh as mesh_lib
 
 def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
                  rng: Optional[Any] = None, mesh=None,
-                 verbose: bool = False) -> Dict[str, Any]:
+                 verbose: bool = False, fetch: bool = True):
   """Render all pixels of an image in fixed-size ray chunks.
 
   Args:
@@ -31,9 +31,16 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
     config: Config (render_chunk_size, vis_num_rays).
     rng: optional key for the deterministic vis-bundle subsample.
     mesh: optional device mesh; chunks are sharded along the ray axis.
+    fetch: when False, return a zero-arg `finish()` closure instead of the
+      buffers. All device work is already dispatched (async) on return;
+      finish() blocks on the device->host fetch and does the host-side
+      merge. Lets callers move the multi-10s-of-MB frame fetch off the
+      render critical path (e.g. onto a _FramePipeline worker) so the
+      device starts the next frame immediately.
 
   Returns:
-    dict of [H, W, ...] buffers + 'ray_' bundles (lists over levels).
+    dict of [H, W, ...] buffers + 'ray_' bundles (lists over levels), or
+    a finish() closure returning that dict when fetch=False.
   """
   height, width = rays.origins.shape[:2]
   num_rays = height * width
@@ -66,38 +73,42 @@ def render_image(render_fn: Callable, rays: rays_lib.Rays, config,
         chunk_rendering[k] = [r[k] for r in chunk_renderings]
     chunks.append(chunk_rendering)
 
-  chunks = jax.device_get(chunks)
+  def finish():
+    fetched = jax.device_get(chunks)
 
-  # Merge chunks (concatenate along the ray axis).
-  rendering = {}
-  for k in chunks[0]:
-    if isinstance(chunks[0][k], list):
-      rendering[k] = [
-          np.concatenate([c[k][i] for c in chunks])
-          for i in range(len(chunks[0][k]))]
-    else:
-      rendering[k] = np.concatenate([c[k] for c in chunks])
+    # Merge chunks (concatenate along the ray axis).
+    rendering = {}
+    for k in fetched[0]:
+      if isinstance(fetched[0][k], list):
+        rendering[k] = [
+            np.concatenate([c[k][i] for c in fetched])
+            for i in range(len(fetched[0][k]))]
+      else:
+        rendering[k] = np.concatenate([c[k] for c in fetched])
 
-  for k, z in rendering.items():
-    if not k.startswith('ray_'):
-      z = z[:num_rays]  # strip chunk padding
-      rendering[k] = z.reshape((height, width) + z.shape[1:])
+    for k, z in rendering.items():
+      if not k.startswith('ray_'):
+        z = z[:num_rays]  # strip chunk padding
+        rendering[k] = z.reshape((height, width) + z.shape[1:])
 
-  # Deterministically subsample a fresh vis ray bundle from the concatenation.
-  keys = [k for k in rendering if k.startswith('ray_')]
-  if keys:
-    num_bundle_rays = rendering[keys[0]][0].shape[0]
-    if rng is None:
-      seed = 0
-    else:
-      # Works for both raw uint32 PRNGKeys and new-style typed keys.
-      seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
-    perm_rng = np.random.default_rng(seed)
-    ray_idx = perm_rng.permutation(num_bundle_rays)[:config.vis_num_rays]
-    for k in keys:
-      rendering[k] = [r[ray_idx] for r in rendering[k]]
+    # Deterministically subsample a fresh vis ray bundle from the
+    # concatenation.
+    keys = [k for k in rendering if k.startswith('ray_')]
+    if keys:
+      num_bundle_rays = rendering[keys[0]][0].shape[0]
+      if rng is None:
+        seed = 0
+      else:
+        # Works for both raw uint32 PRNGKeys and new-style typed keys.
+        seed = int(np.asarray(jax.random.key_data(rng)).ravel()[-1])
+      perm_rng = np.random.default_rng(seed)
+      ray_idx = perm_rng.permutation(num_bundle_rays)[:config.vis_num_rays]
+      for k in keys:
+        rendering[k] = [r[ray_idx] for r in rendering[k]]
 
-  return rendering
+    return rendering
+
+  return finish() if fetch else finish
 
 
 # One jitted render program per (model, compute_extras): params and

@@ -414,10 +414,14 @@ class NeRFSystem:
     showcase_indices = set(
         np.sort(perm[:config.num_showcase_images]).tolist())
 
-    def postprocess(idx, rendering, batch, render_time):
-      """Everything after the device render for one frame: color correction,
-      metrics, showcase collection, image dumps. Runs on the pipeline worker,
-      overlapped with the next frame's device render."""
+    def postprocess(idx, finish, batch, eval_start):
+      """Everything after the device render dispatch for one frame: the
+      device->host fetch + merge, color correction, metrics, showcase
+      collection, image dumps. Runs on the pipeline worker, overlapped with
+      the next frame's device render."""
+      rendering = finish()
+      render_time = time.time() - eval_start
+      render_times.append(render_time)
       ray_bundle = {k: np.asarray(v) for k, v in rendering.items()
                     if k.startswith('ray_')}
       rendering = {k: np.asarray(v, np.float64)
@@ -489,10 +493,9 @@ class NeRFSystem:
         lambda _: next(self.val_dataset), range(num_eval))
     for idx, batch in enumerate(batches):
       eval_start = time.time()
-      rendering = renderer_lib.render_image(
-          render_fn, batch.rays, config, mesh=self._eval_mesh())
-      render_times.append(time.time() - eval_start)
-      pipeline.submit(postprocess, idx, rendering, batch, render_times[-1])
+      finish = renderer_lib.render_image(
+          render_fn, batch.rays, config, mesh=self._eval_mesh(), fetch=False)
+      pipeline.submit(postprocess, idx, finish, batch, eval_start)
 
     for metric, metric_cc in pipeline.results():
       if metric is not None:
@@ -555,8 +558,12 @@ class NeRFSystem:
     render_fn = renderer_lib.make_render_fn(
         self.model, self.state.params, train_frac=1.0, compute_extras=True)
 
-    def save_frame(idx_str, rendering):
-      """Per-frame buffer dumps, overlapped with the next frame's render."""
+    def save_frame(idx_str, finish, eval_start, idx):
+      """Per-frame fetch + buffer dumps, overlapped with the next frame's
+      device render."""
+      rendering = finish()
+      print(f'Rendered {idx + 1}/{dataset.size} '
+            f'in {time.time() - eval_start:0.3f}s')
       rendering = {k: np.asarray(v, np.float64)
                    for k, v in rendering.items()
                    if k in ['rgb', 'diffuse', 'specular', 'normals_pred',
@@ -601,10 +608,9 @@ class NeRFSystem:
       idx_str = idx_to_str(idx)
       print(f'Evaluating image {idx + 1}/{dataset.size}')
       eval_start = time.time()
-      rendering = renderer_lib.render_image(
-          render_fn, batch.rays, config, mesh=self._eval_mesh())
-      print(f'Rendered in {time.time() - eval_start:0.3f}s')
-      pipeline.submit(save_frame, idx_str, rendering)
+      finish = renderer_lib.render_image(
+          render_fn, batch.rays, config, mesh=self._eval_mesh(), fetch=False)
+      pipeline.submit(save_frame, idx_str, finish, eval_start, idx)
 
     pipeline.results()  # flush saves before counting files for the video
     num_files = len(glob.glob(path_fn('acc_*.tiff')))
