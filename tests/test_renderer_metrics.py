@@ -44,6 +44,36 @@ def test_render_image_shapes_and_chunking():
     assert np.all(np.isfinite(np.asarray(v)))
 
 
+def test_render_image_deferred_fetch_matches_eager():
+  """fetch=False returns a finish() closure whose output is bit-identical
+  to the eager path (the eval/render loops run the closure on a pipeline
+  worker thread, so also exercise it off-thread)."""
+  import concurrent.futures
+
+  config, gin = configs_lib.parse(
+      None, [_TINY_MODEL + _REFNERF_FLAGS, 'Config.render_chunk_size = 32',
+             'Config.vis_num_rays = 4'])
+  model = construct.construct_model(config, gin)
+  params = construct.init_params(jax.random.PRNGKey(0), model)
+  render_fn = renderer.make_render_fn(model, params)
+  rays = _image_rays(9, 7)
+  eager = renderer.render_image(render_fn, rays, config)
+  finish = renderer.render_image(render_fn, rays, config, fetch=False)
+  assert callable(finish)
+  with concurrent.futures.ThreadPoolExecutor(1) as pool:
+    deferred = pool.submit(finish).result()
+  assert set(eager) == set(deferred)
+  for k in eager:
+    a, b = eager[k], deferred[k]
+    if isinstance(a, list):  # per-level ray bundles
+      assert len(a) == len(b), k
+      for i, (ai, bi) in enumerate(zip(a, b)):
+        np.testing.assert_array_equal(np.asarray(ai), np.asarray(bi),
+                                      err_msg=f'{k}[{i}]')
+    else:
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=k)
+
+
 def test_render_image_chunks_agree_with_single_chunk():
   config, gin = configs_lib.parse(
       None, [_TINY_MODEL + _REFNERF_FLAGS, 'Config.render_chunk_size = 16'])
