@@ -414,13 +414,21 @@ class NeRFSystem:
     showcase_indices = set(
         np.sort(perm[:config.num_showcase_images]).tolist())
 
+    last_done = [0.0]  # worker-only state; the single worker keeps it ordered
+
     def postprocess(idx, finish, batch, eval_start):
       """Everything after the device render dispatch for one frame: the
       device->host fetch + merge, color correction, metrics, showcase
       collection, image dumps. Runs on the pipeline worker, overlapped with
       the next frame's device render."""
       rendering = finish()
-      render_time = time.time() - eval_start
+      # Exclusive per-frame time: frames are dispatched back-to-back, so
+      # dispatch->merge latency would double-count queue wait behind the
+      # previous frame. Clock from whichever is later: this frame's own
+      # dispatch or the previous frame's completion.
+      done = time.time()
+      render_time = done - max(eval_start, last_done[0])
+      last_done[0] = done
       render_times.append(render_time)
       ray_bundle = {k: np.asarray(v) for k, v in rendering.items()
                     if k.startswith('ray_')}
@@ -558,12 +566,16 @@ class NeRFSystem:
     render_fn = renderer_lib.make_render_fn(
         self.model, self.state.params, train_frac=1.0, compute_extras=True)
 
+    last_done = [0.0]  # worker-only state (exclusive-time clock, see test())
+
     def save_frame(idx_str, finish, eval_start, idx):
       """Per-frame fetch + buffer dumps, overlapped with the next frame's
       device render."""
       rendering = finish()
+      done = time.time()
       print(f'Rendered {idx + 1}/{dataset.size} '
-            f'in {time.time() - eval_start:0.3f}s')
+            f'in {done - max(eval_start, last_done[0]):0.3f}s')
+      last_done[0] = done
       rendering = {k: np.asarray(v, np.float64)
                    for k, v in rendering.items()
                    if k in ['rgb', 'diffuse', 'specular', 'normals_pred',
