@@ -10,7 +10,9 @@ step is device-bound and the target should be retired.
 
 Usage:
   JAX_PLATFORMS=cpu python tools/roofline.py [measured_ms_per_step]
-Env: BENCH_BATCH (default 4096), BENCH_MODE (bf16|f32, default bf16).
+Env: BENCH_BATCH (default 4096), BENCH_MODE (bf16|f32, default bf16),
+RESULT (optional path: also dump the accounting as one JSON artifact,
+e.g. ROOFLINE_r05.json).
 
 v5e peaks (public TPU v5e spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
 The flagship step is mixed-precision (bf16 trunks, f32 heads/epilogues/
@@ -117,6 +119,33 @@ def main():
     print(f'headroom to the binding roofline: '
           f'{(measured_ms / max(t_mxu_ms, t_hbm_ms) - 1) * 100:.0f}% '
           f'above the floor')
+
+  result = os.environ.get('RESULT')
+  if result:
+    import json
+    out = {
+        'backend': jax.default_backend(),
+        'batch': BATCH_SIZE,
+        'mode': MODE,
+        'xla_tflop_per_step': flops / 1e12,
+        'xla_gb_accessed_per_step': bytes_accessed / 1e9,
+        'bytes_are_prefusion_upper_bound': jax.default_backend() == 'cpu',
+        'v5e_peaks': {'bf16_tflops': V5E_BF16_TFLOPS,
+                      'hbm_gbps': V5E_HBM_GBPS},
+        'speed_of_light_ms': {'compute_mxu': t_mxu_ms, 'memory_hbm': t_hbm_ms},
+        'binding_roofline': bound,
+        'roofline_floor_rays_per_sec': BATCH_SIZE / max(t_mxu_ms, t_hbm_ms)
+                                       * 1e3,
+    }
+    if measured_ms is not None:
+      out['measured_ms_per_step'] = measured_ms
+      out['measured_rays_per_sec'] = BATCH_SIZE / measured_ms * 1e3
+      out['mfu_vs_bf16_peak'] = mfu
+      out['hbm_util_vs_peak'] = hbm_util
+      out['headroom_above_floor'] = measured_ms / max(t_mxu_ms, t_hbm_ms) - 1
+    with open(result, 'w') as f:
+      json.dump(out, f, indent=1)
+    print(f'wrote {result}')
 
 
 if __name__ == '__main__':
