@@ -167,3 +167,61 @@ def test_frame_pipeline_submit_race_stress():
       assert pipe.results() == list(range(20))
   finally:
     sys_lib.setswitchinterval(old)
+
+
+def test_batch_lookahead_order_state_and_errors():
+  """_BatchLookahead: yields builder outputs in key order even when the
+  builder is STATEFUL (the eval loop wraps `next(self.val_dataset)`, so
+  out-of-order or concurrent calls would corrupt the stream), runs at most
+  one build ahead of consumption, propagates builder exceptions to the
+  consumer, and terminates cleanly on exhaustion."""
+  import threading
+  import time as time_lib
+
+  from refnerf_tpu.system import _BatchLookahead
+
+  # Stateful builder: ignores the key, returns a counter — exactly the
+  # `lambda _: next(dataset)` shape the eval loop uses. Order of results
+  # proves calls were serialized in submission order.
+  counter = [0]
+  lock = threading.Lock()
+  concurrent, max_concurrent = [0], [0]
+
+  def build(_):
+    with lock:
+      concurrent[0] += 1
+      max_concurrent[0] = max(max_concurrent[0], concurrent[0])
+    time_lib.sleep(0.002)
+    with lock:
+      concurrent[0] -= 1
+      counter[0] += 1
+      return counter[0]
+
+  out = list(_BatchLookahead(build, range(7)))
+  assert out == [1, 2, 3, 4, 5, 6, 7]
+  assert max_concurrent[0] == 1  # single worker: stateful-safe
+
+  # Depth bound: with a consumer that never advances, at most depth+1
+  # builds may START (the initial fill); the rest wait for consumption.
+  started = []
+  la = _BatchLookahead(lambda k: started.append(k) or k, range(10), depth=1)
+  time_lib.sleep(0.05)
+  assert len(started) <= 2
+  assert next(la) == 0
+  assert list(la) == list(range(1, 10))
+
+  # Builder exception surfaces at the consumer like the serial loop's.
+  def boom(k):
+    if k == 2:
+      raise ValueError('bad frame')
+    return k
+
+  la = _BatchLookahead(boom, range(5))
+  assert next(la) == 0
+  assert next(la) == 1
+  with pytest.raises(ValueError, match='bad frame'):
+    for _ in la:
+      pass
+
+  # Empty key list: immediately exhausted, no hang.
+  assert list(_BatchLookahead(lambda k: k, [])) == []
