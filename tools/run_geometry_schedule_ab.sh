@@ -10,10 +10,12 @@
 #
 #   geo_soft    - every consistency/opacity mult x0.3: a lower ramp ceiling
 #                 at unchanged shape (the "lower warmup ceiling" lever).
-#   geo_decay04 - full mults but consistency_decay_steps 0.8 -> 0.4: the
+#   geo_decay06 - full mults but consistency_decay_steps 0.8 -> 0.6: the
 #                 decay lever (ref semantics nerf_system.py:108-114 - ratio
 #                 jumps to the decay envelope at decay_start and anneals to
-#                 0 by max_steps), halving late-training weight exposure.
+#                 0 by max_steps). 0.6 is the earliest LEGAL start: the gin
+#                 pins warmup 0.6 and step.py enforces decay >= warmup, so
+#                 this minimizes late-training weight exposure.
 #
 # Env overrides: SCENE, EXP_ROOT, STEPS, BATCH, VIEWS, RESULT, LOGDIR, ARMS.
 set -u
@@ -25,7 +27,7 @@ BATCH="${BATCH:-4096}"
 VIEWS="${VIEWS:-6}"
 RESULT="${RESULT:-$ROOT/GEOMETRY_SCHEDULE_r05.json}"
 LOGDIR="${LOGDIR:-/tmp/refnerf_geo}"
-ARMS="${ARMS:-geo_soft geo_decay04}"
+ARMS="${ARMS:-geo_soft geo_decay06}"
 
 cd "$ROOT"
 mkdir -p "$LOGDIR"
@@ -72,13 +74,22 @@ Config.weights_entropy_loss_mult = 9e-6
 Config.weights_entropy_coarse_loss_mult = 9e-7
 EOF
       ;;
-    geo_decay04) echo "Config.consistency_decay_steps = 0.4" ;;
+    # The gin pins consistency_warmup_steps = 0.6 and train/step.py
+    # enforces the reference's decay>=warmup constraint
+    # (nerf_system.py:108-114 semantics) — 0.6 is the EARLIEST legal
+    # decay start: weights anneal toward 0 immediately after warmup,
+    # minimizing late-training exposure.
+    geo_decay06) echo "Config.consistency_decay_steps = 0.6" ;;
     *) echo "unknown arm $1" >&2; exit 2 ;;
   esac
 }
 
 declare -A WALL
 for arm in $ARMS; do
+  if [ -f "$EXP_ROOT/ckpt/${arm%%_*}/$arm/test_preds/avg_metrics.txt" ]; then
+    echo "== $arm already trained+evaled (avg_metrics.txt exists), skipping =="
+    continue
+  fi
   EXTRA=()
   while IFS= read -r b; do
     [ -n "$b" ] && EXTRA+=(--gin_bindings="$b")
@@ -104,8 +115,12 @@ arms = sys.argv[6:]
 def arm_metrics(arm):
     pred = os.path.join(exp_root, 'ckpt', arm.split('_')[0], arm,
                         'test_preds')
+    path = os.path.join(pred, 'avg_metrics.txt')
+    if not os.path.exists(path):
+        # A failed arm must not lose the completed arms' results.
+        return {'failed': f'no avg_metrics.txt under {pred}'}
     out = {}
-    with open(os.path.join(pred, 'avg_metrics.txt')) as f:
+    with open(path) as f:
         for line in f:
             k, _, v = line.strip().partition(': ')
             try:
@@ -118,7 +133,10 @@ def val_trajectory(arm):
     """validation psnr prints from the train log - the val-decline signal."""
     traj = {}
     pat = re.compile(r'validation @ step (\d+): psnr=([\d.]+)')
-    with open(os.path.join(logdir, f'train_{arm}.log')) as f:
+    log = os.path.join(logdir, f'train_{arm}.log')
+    if not os.path.exists(log):
+        return {}
+    with open(log) as f:
         for line in f:
             m = pat.search(line)
             if m:
