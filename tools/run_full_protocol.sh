@@ -52,11 +52,11 @@ echo "== eval ($EVAL_LIMIT views at 800x800) =="
 python eval.py "${BINDINGS[@]}"
 t2=$(date +%s)
 
-echo "== render (test path + videos) =="
-python render.py "${BINDINGS[@]}"
-t3=$(date +%s)
-
-python - "$EXP_ROOT" "$RESULT" "$STEPS" "$BATCH" "$((t1-t0))" "$((t2-t1))" "$((t3-t2))" <<'EOF'
+# Write the artifact incrementally: once after eval (render phase marked
+# in-flight) and again after render. A hard kill mid-render then still
+# leaves the quality metrics + train/eval wall-clocks on disk.
+write_result() {
+  python - "$EXP_ROOT" "$RESULT" "$STEPS" "$BATCH" "$((t1-t0))" "$((t2-t1))" "$1" <<'EOF'
 import json, os, sys
 exp_root, result, steps, batch, t_train, t_eval, t_render = sys.argv[1:8]
 pred_dir = os.path.join(exp_root, 'ckpt', 'protocol', 'protocol', 'test_preds')
@@ -86,7 +86,10 @@ rays_per_sec = (round(sum(rates) / len(rates), 1) if rates else
 out = {
     'steps': int(steps), 'batch_size': int(batch), 'resolution': 800,
     'train_seconds': int(t_train), 'eval_seconds': int(t_eval),
-    'render_seconds': int(t_render),
+    # -1 = the post-eval incremental write; replaced by the real value
+    # when the render phase completes.
+    'render_seconds': (int(t_render) if int(t_render) >= 0
+                       else 'in-flight (render phase not yet complete)'),
     'train_rays_per_sec': rays_per_sec,
     'metrics': metrics,
     'cc_note': ('cc_psnr/cc_ssim inherit the reference color_correct saturation '
@@ -101,3 +104,12 @@ with open(result, 'w') as f:
     json.dump(out, f, indent=1)
 print(json.dumps(out))
 EOF
+}
+
+write_result -1
+
+echo "== render (test path + videos) =="
+python render.py "${BINDINGS[@]}"
+t3=$(date +%s)
+
+write_result "$((t3-t2))"
