@@ -45,6 +45,25 @@ from refnerf_tpu.utils import profiling
 TIME_PRECISION = 1000  # integer milliseconds, for preemption-robust timing
 
 
+def _enable_persistent_compile_cache():
+  """Point XLA's persistent compilation cache at a stable on-disk dir.
+
+  The remote TPU compile service is the slowest and least reliable phase of
+  a CLI run (first compiles are minutes; a degraded service has been
+  observed to take >15). bench.py and the test conftest already opt in;
+  without this the train/eval/render CLIs re-compiled identical programs
+  every invocation. Honors an explicit JAX_COMPILATION_CACHE_DIR (which
+  newer jax reads natively); otherwise defaults to ~/.cache/refnerf_tpu/xla.
+  """
+  cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR',
+                             os.path.expanduser('~/.cache/refnerf_tpu/xla'))
+  try:
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+  except (OSError, AttributeError) as e:  # unwritable dir / very old jax
+    print(f'persistent compile cache disabled: {e}', file=sys.stderr)
+
+
 class _FramePipeline:
   """Single-worker ordered pipeline for per-frame host post-processing.
 
@@ -145,6 +164,7 @@ class NeRFSystem:
   """Builds and runs the full train/eval/render pipeline for one config."""
 
   def __init__(self, config, gin, summary_writer=None):
+    _enable_persistent_compile_cache()
     self.config = config
     self.gin = gin
     self.summary_writer = summary_writer
